@@ -1,0 +1,242 @@
+"""Dual-dialect SQL expression generator.
+
+Every cell/tile encoding in this engine is integer math (bit interleaving,
+Hilbert rotation, zigzag). We express each algorithm ONCE as a string
+template over a tiny op vocabulary and render it for two dialects:
+
+  - "spark"  — used via ``F.expr`` inside DataFrame pipelines (JVM-side,
+               whole-stage-codegen, no Python in the hot path);
+  - "duckdb" — used verbatim as the correctness oracle the driver runs.
+
+Because both engines evaluate the *same* integer expression tree, the oracle
+comparison is bit-exact — no transcendental-function ULP risk.
+
+Dialect deltas handled here:
+  - XOR:   Spark ``(a ^ b)``; DuckDB ``xor(a, b)`` (``^`` is POW in DuckDB!)
+  - SHL/R: Spark ``shiftleft/shiftright``; DuckDB ``<< >>``
+  - floor: both return different types → always ``CAST(floor(x) AS BIGINT)``
+"""
+
+from __future__ import annotations
+
+
+class Dialect:
+    def __init__(self, name: str):
+        assert name in ("spark", "duckdb")
+        self.name = name
+
+    def xor(self, a: str, b: str) -> str:
+        return f"({a} ^ {b})" if self.name == "spark" else f"xor({a}, {b})"
+
+    def shl(self, a: str, n: int | str) -> str:
+        return (
+            f"shiftleft({a}, {n})" if self.name == "spark" else f"({a} << {n})"
+        )
+
+    def shr(self, a: str, n: int | str) -> str:
+        # arithmetic shift right; operands here are always non-negative.
+        return (
+            f"shiftright({a}, {n})" if self.name == "spark" else f"({a} >> {n})"
+        )
+
+    def band(self, a: str, b: int | str) -> str:
+        return f"({a} & {b})"
+
+    def bor(self, a: str, b: str) -> str:
+        return f"({a} | {b})"
+
+    def floor_long(self, x: str) -> str:
+        return f"CAST(floor({x}) AS BIGINT)"
+
+
+SPARK = Dialect("spark")
+DUCKDB = Dialect("duckdb")
+
+
+def lon_frac(lon: str) -> str:
+    """Fraction of the world's x-extent, clamped to [0, 1)."""
+    return f"least(greatest((({lon}) + 180.0d) / 360.0d, 0.0d), 0.9999999999999999d)"
+
+
+def lat_frac(lat: str) -> str:
+    """Fraction of the world's y-extent (south→north), clamped to [0, 1)."""
+    return f"least(greatest((({lat}) + 90.0d) / 180.0d, 0.0d), 0.9999999999999999d)"
+
+
+def _fix_double_suffix(d: Dialect, s: str) -> str:
+    # Spark SQL needs the 'd' suffix to force DOUBLE literals inside expr;
+    # DuckDB treats bare decimals as DECIMAL which changes arithmetic — cast.
+    if d.name == "duckdb":
+        return (
+            s.replace("180.0d", "180.0::DOUBLE")
+            .replace("360.0d", "360.0::DOUBLE")
+            .replace("90.0d", "90.0::DOUBLE")
+            .replace("0.0d", "0.0::DOUBLE")
+            .replace("0.9999999999999999d", "0.9999999999999999::DOUBLE")
+        )
+    return s
+
+
+def grid_index(d: Dialect, frac: str, bits: int) -> str:
+    """``floor(frac * 2^bits)`` as BIGINT — the binary-subdivision cell index."""
+    return d.floor_long(f"({_fix_double_suffix(d, frac)}) * {1 << bits}")
+
+
+def spread_bits(d: Dialect, v: str, n: int) -> str:
+    """Morton spread: insert a 0 bit between each of the low ``n`` bits of v.
+
+    Classic magic-number spreading (public domain bit-twiddling); works for
+    n <= 32 on BIGINT. Uses only AND/OR/SHL — dialect-safe.
+    """
+    x = f"({v} & {(1 << n) - 1})"
+    steps = [
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ]
+    for shift, mask in steps:
+        x = d.band(d.bor(x, d.shl(x, shift)), str(mask))
+    return x
+
+
+def morton_interleave(d: Dialect, xi: str, yi: str, bits: int, y_low: bool) -> str:
+    """Interleave two ``bits``-bit integers. ``y_low``: y occupies bit 0."""
+    sx = spread_bits(d, xi, bits)
+    sy = spread_bits(d, yi, bits)
+    if y_low:
+        return d.bor(sy, d.shl(f"({sx})", 1))
+    return d.bor(sx, d.shl(f"({sy})", 1))
+
+
+def bit_reverse32_expr(d: Dialect, v: str, bits: int) -> str:
+    """Reverse the low ``bits`` (<= 32) bits of a non-negative BIGINT."""
+    x = f"({v})"
+    for shift, mask in ((1, 0x55555555), (2, 0x33333333), (4, 0x0F0F0F0F),
+                        (8, 0x00FF00FF), (16, 0x0000FFFF)):
+        x = d.bor(
+            d.band(d.shr(x, shift), str(mask)),
+            d.shl(f"({d.band(x, str(mask))})", shift),
+        )
+        x = f"({x})"
+    return d.shr(x, 32 - bits)
+
+
+def quadkey_expr(d: Dialect, lon: str, lat: str, depth: int) -> str:
+    """QuadKey bits per the reference quadtree strategy:
+    2 bits per level, level 0 (COARSEST) in the LOW bits, q = north<<1 | east
+    (libs/routers_shard/src/strategy/quadtree.rs:88-123).
+
+    Binary subdivision with ``px >= mid`` over [-180,180]x[-90,90] is exactly
+    bit (depth-1-level) of ``floor(frac * 2^depth)`` — the subdivision
+    midpoints are exact binary fractions of the world extent, so the loop and
+    this closed form agree bit-for-bit. Each index is bit-reversed so level 0
+    lands in the interleave's low lane.
+    """
+    xi = grid_index(d, lon_frac(lon), depth)
+    yi = grid_index(d, lat_frac(lat), depth)
+    xr = bit_reverse32_expr(d, xi, depth)
+    yr = bit_reverse32_expr(d, yi, depth)
+    return morton_interleave(d, f"({xr})", f"({yr})", depth, y_low=False)
+
+
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_int_expr(d: Dialect, lon: str, lat: str, precision: int) -> str:
+    """Geohash as an integer of 5*precision interleaved bits (lon first,
+    from the top bit) — the bit content of the reference's base-32 encoding
+    (libs/routers_shard/src/strategy/geohash.rs:88-137)."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    xi = grid_index(d, lon_frac(lon), lon_bits)
+    yi = grid_index(d, lat_frac(lat), lat_bits)
+    # lon occupies the even bit positions counting from the TOP of the
+    # 5c-bit word. With lon first: bit (total-1) is lon's MSB. Interleaving
+    # from the low end: if total is even, lat sits at bit 0 → y_low when
+    # total even; when odd, lon has one extra bit at both top and bottom.
+    if total % 2 == 0:
+        return morton_interleave(d, f"({xi})", f"({yi})", lon_bits, y_low=True)
+    # odd: lon bit count = lat + 1; lowest bit is a lon bit.
+    # value = interleave(lon>>1, lat) << 1 | (lon & 1)
+    hi = morton_interleave(
+        d, f"({d.shr(f'({xi})', 1)})", f"({yi})", lat_bits, y_low=False
+    )
+    return d.bor(d.shl(f"({hi})", 1), d.band(f"({xi})", 1))
+
+
+def geohash_str_expr(d: Dialect, lon: str, lat: str, precision: int) -> str:
+    """Base-32 geohash string, built from the integer form via substring
+    lookups (both dialects: substr is 1-indexed)."""
+    gi = geohash_int_expr(d, lon, lat, precision)
+    parts = []
+    for c in range(precision):
+        shift = 5 * (precision - 1 - c)
+        idx = d.band(f"({d.shr(f'({gi})', shift)})" if shift else f"({gi})", 31)
+        parts.append(f"substr('{_GEOHASH_B32}', CAST({idx} AS INT) + 1, 1)")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def slippy_xy_expr(d: Dialect, lon: str, lat: str, zoom: int) -> tuple[str, str]:
+    """Slippy tile (x, y) at fixed zoom — the reference's WebMercator
+    projection (libs/routers_geo/src/project.rs:49-71). Note the reference
+    multiplies by the literal 0.0174533 (not pi/180); reproduced verbatim."""
+    n = 1 << zoom
+    x = d.floor_long(_fix_double_suffix(d, f"{n} * ((({lon}) + 180.0d) / 360.0d)"))
+    rad = f"(({lat}) * 0.0174533)"
+    y = d.floor_long(
+        f"{n} * (1.0 - ln(tan({rad}) + 1.0 / cos({rad})) / pi()) / 2.0"
+    )
+    return x, y
+
+
+def zigzag_expr(d: Dialect, v: str) -> str:
+    """Zigzag encode (i32 domain, evaluated in 64-bit so the shift cannot
+    overflow) — libs/routers_tiles/src/lib.rs:105-107."""
+    v64 = f"CAST({v} AS BIGINT)"
+    return d.xor(f"({d.shl(f'({v64})', 1)})", f"({d.shr(f'({v64})', 31)})")
+
+
+def hilbert_xy2h_cte_sql(
+    d: Dialect, source_sql: str, x: str, y: str, order: int, keep: list[str]
+) -> str:
+    """Hilbert index of (x, y) at ``order`` bits per axis via chained CTEs
+    (one per bit level — classic xy2d rotation loop, unrolled as SQL).
+
+    The reference stores tiles by ``fast_hilbert::xy2h(x, y, zoom)``
+    (libs/routers_tiles/src/primitives/fragment.rs:69-71); this is the same
+    curve used the same way: a space-filling clustered sort key enabling
+    range-pruned tile scans (bigtable.rs:311-320 analog).
+
+    ``source_sql`` must yield the ``x``/``y`` expressions plus ``keep``
+    passthrough columns. Returns a SELECT yielding ``keep`` + ``hilbert``.
+    """
+    keep_cols = ", ".join(keep)
+    lines = [f"WITH h0 AS (SELECT {keep_cols}, CAST({x} AS BIGINT) AS hx, "
+             f"CAST({y} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM ({source_sql}))"]
+    prev = "h0"
+    step = 0
+    for i in range(order - 1, -1, -1):
+        s = 1 << i
+        step += 1
+        cur = f"h{step}"
+        rx = f"(CASE WHEN ({d.band('hx', s)}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ({d.band('hy', s)}) > 0 THEN 1 ELSE 0 END)"
+        nd = f"hd + CAST({s} AS BIGINT) * {s} * ({d.xor(f'(3 * {rx})', ry)})"
+        nx = (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - hy"
+            f" ELSE hy END) ELSE hx END"
+        )
+        ny = (
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - hx"
+            f" ELSE hx END) ELSE hy END"
+        )
+        lines.append(
+            f", {cur} AS (SELECT {keep_cols}, CAST({nx} AS BIGINT) AS hx, "
+            f"CAST({ny} AS BIGINT) AS hy, CAST({nd} AS BIGINT) AS hd FROM {prev})"
+        )
+        prev = cur
+    lines.append(f"SELECT {keep_cols}, hd AS hilbert FROM {prev}")
+    return "\n".join(lines)
