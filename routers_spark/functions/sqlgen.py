@@ -196,7 +196,11 @@ def zigzag_expr(d: Dialect, v: str) -> str:
     """Zigzag encode (i32 domain, evaluated in 64-bit so the shift cannot
     overflow) — libs/routers_tiles/src/lib.rs:105-107."""
     v64 = f"CAST({v} AS BIGINT)"
-    return d.xor(f"({d.shl(f'({v64})', 1)})", f"({d.shr(f'({v64})', 31)})")
+    # (v << 1) as v*2 and (v >> 31) as a sign mask: DuckDB refuses to
+    # left-shift negative numbers, multiplication is dialect-safe.
+    return d.xor(
+        f"({v64} * 2)", f"(CASE WHEN {v64} < 0 THEN -1 ELSE 0 END)"
+    )
 
 
 def hilbert_xy2h_cte_sql(
