@@ -53,6 +53,120 @@ SPARK = Dialect("spark")
 DUCKDB = Dialect("duckdb")
 
 
+class Program:
+    """SSA-style expression builder rendered as a linear chain of CTEs.
+
+    Bit-twiddling pipelines (spread/reverse/interleave) double their textual
+    size at every step when written as one nested expression — a 20-step
+    pipeline explodes to ~1 MB of SQL. Binding each step to a named column
+    in its own CTE keeps the text linear and lets both engines evaluate each
+    step once.
+    """
+
+    def __init__(self, source_sql: str, keep: list[str]):
+        self.source_sql = source_sql
+        self.keep = list(keep)
+        self.steps: list[tuple[str, str]] = []  # (col_name, expr over prior cols)
+        self._n = 0
+
+    def let(self, expr: str, name: str | None = None) -> str:
+        return self.let_many([expr])[0]
+
+    def let_many(self, exprs: list[str]) -> list[str]:
+        """Bind several independent expressions in ONE CTE level — keeps the
+        chain depth down (Spark's analyzer iterates per nesting level)."""
+        names = []
+        bound = []
+        for expr in exprs:
+            self._n += 1
+            name = f"_t{self._n}"
+            names.append(name)
+            bound.append((name, expr))
+        self.steps.append(bound)
+        return names
+
+    def render(self, final_cols: list[str]) -> str:
+        """``final_cols`` are ``expr AS alias`` fragments over keep+bound
+        columns."""
+        lines = [f"WITH p0 AS (SELECT * FROM ({self.source_sql}))"]
+        prev = "p0"
+        for i, level in enumerate(self.steps, start=1):
+            cur = f"p{i}"
+            cols = ", ".join(f"{expr} AS {name}" for name, expr in level)
+            lines.append(f", {cur} AS (SELECT *, {cols} FROM {prev})")
+            prev = cur
+        lines.append(f"SELECT {', '.join(final_cols)} FROM {prev}")
+        return "\n".join(lines)
+
+
+def p_spread_bits_multi(p: Program, d: Dialect, vs: list[str], n: int) -> list[str]:
+    """Morton spread as program steps, all inputs in lockstep per level
+    (see :func:`spread_bits`)."""
+    xs = p.let_many([d.band(v, str((1 << n) - 1)) for v in vs])
+    for shift, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        xs = p.let_many(
+            [d.band(d.bor(x, d.shl(x, shift)), str(mask)) for x in xs]
+        )
+    return xs
+
+
+def p_bit_reverse32_multi(p: Program, d: Dialect, vs: list[str], bits: int) -> list[str]:
+    xs = list(vs)
+    for shift, mask in ((1, 0x55555555), (2, 0x33333333), (4, 0x0F0F0F0F),
+                        (8, 0x00FF00FF), (16, 0x0000FFFF)):
+        xs = p.let_many([
+            d.bor(
+                d.band(d.shr(x, shift), str(mask)),
+                d.shl(f"({d.band(x, str(mask))})", shift),
+            )
+            for x in xs
+        ])
+    return p.let_many([d.shr(x, 32 - bits) for x in xs])
+
+
+def p_quadkey(p: Program, d: Dialect, lon: str, lat: str, depth: int) -> str:
+    """QuadKey as program steps (see :func:`quadkey_expr` for semantics)."""
+    xi, yi = p.let_many(
+        [grid_index(d, lon_frac(lon), depth), grid_index(d, lat_frac(lat), depth)]
+    )
+    xr, yr = p_bit_reverse32_multi(p, d, [xi, yi], depth)
+    sx, sy = p_spread_bits_multi(p, d, [xr, yr], depth)
+    return p.let(d.bor(sx, d.shl(f"({sy})", 1)))
+
+
+def p_geohash_int(p: Program, d: Dialect, lon: str, lat: str, precision: int) -> str:
+    """Geohash integer form as program steps (see :func:`geohash_int_expr`)."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    xi, yi = p.let_many(
+        [grid_index(d, lon_frac(lon), lon_bits), grid_index(d, lat_frac(lat), lat_bits)]
+    )
+    if total % 2 == 0:
+        sx, sy = p_spread_bits_multi(p, d, [xi, yi], lon_bits)
+        return p.let(d.bor(sy, d.shl(f"({sx})", 1)))
+    xhi = p.let(d.shr(xi, 1))
+    sx, sy = p_spread_bits_multi(p, d, [xhi, yi], lat_bits)
+    hi = p.let(d.bor(sx, d.shl(f"({sy})", 1)))
+    return p.let(d.bor(d.shl(hi, 1), d.band(xi, 1)))
+
+
+def p_geohash_str(p: Program, d: Dialect, lon: str, lat: str, precision: int) -> str:
+    gi = p_geohash_int(p, d, lon, lat, precision)
+    parts = []
+    for c in range(precision):
+        shift = 5 * (precision - 1 - c)
+        idx = d.band(f"({d.shr(gi, shift)})" if shift else gi, 31)
+        parts.append(f"substr('{_GEOHASH_B32}', CAST({idx} AS INT) + 1, 1)")
+    return p.let("concat(" + ", ".join(parts) + ")")
+
+
 def lon_frac(lon: str) -> str:
     """Fraction of the world's x-extent, clamped to [0, 1)."""
     return f"least(greatest((({lon}) + 180.0d) / 360.0d, 0.0d), 0.9999999999999999d)"

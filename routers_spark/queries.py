@@ -1,0 +1,406 @@
+"""Query registry: every implemented operator exposed as a (spark_fn, oracle
+SQL) pair over the driver's testdata tables.
+
+Contract (driver): ``queries()[name](spark, sf_dir) -> DataFrame`` compared
+against ``oracle_sql()[name]`` run by DuckDB on the same parquet (views
+``region nation customer supplier part orders lineitem events documents
+embeddings``) — row count + schema + order-insensitive value hash, columns
+sorted by name. So every computed column is aliased identically on both
+sides, all integer outputs are BIGINT, and geo inputs are *derived* from
+integer keys with pure IEEE-double arithmetic (bit-identical across engines).
+
+The geospatial operators run on synthetic points derived deterministically
+from ``events`` (the corpus stand-in): the engine's real input schema is the
+image+caption table (see routers_spark/fixtures), but the driver's oracle
+gate runs on these shared tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from routers_spark.functions import sqlgen
+from routers_spark.functions.geo import bearing_deg_sql, haversine_m_sql
+from routers_spark.functions.hashing import partition_of_sql
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# Deterministic synthetic geography: an LA-ish bounding box addressed by
+# integer key arithmetic. e-notation keeps the literals DOUBLE (not DECIMAL)
+# in both Spark SQL and DuckDB, so results are IEEE-bit-identical.
+EVENT_LON = "(-118.5e0 + CAST((event_id * 48271) % 4096 AS DOUBLE) * 1.5e-4)"
+EVENT_LAT = "(33.7e0 + CAST((event_id * 69621) % 4096 AS DOUBLE) * 1.0e-4)"
+SUPP_LON = "(-118.5e0 + CAST((s_suppkey * 1103) % 64 AS DOUBLE) * 96.0e-4)"
+SUPP_LAT = "(33.7e0 + CAST((s_suppkey * 2749) % 64 AS DOUBLE) * 64.0e-4)"
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    # deep CTE chains (bit-twiddling programs) need more analyzer sweeps
+    # than the default 100; harmless otherwise.
+    try:
+        spark.conf.set("spark.sql.analyzer.maxIterations", "1000")
+    except Exception:  # noqa: BLE001 — conf may be locked; queries still work
+        pass
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# Each entry: name -> sql(dialect_name) returning a full SELECT runnable on
+# both engines (dialect differences isolated behind sqlgen / tiny shims).
+_SQL_QUERIES: dict[str, Callable[[str], str]] = {}
+
+
+def sql_query(name: str):
+    def deco(fn):
+        _SQL_QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+def _d(dialect: str) -> sqlgen.Dialect:
+    return sqlgen.SPARK if dialect == "spark" else sqlgen.DUCKDB
+
+
+# ---------------------------------------------------------------- geospatial
+
+
+@sql_query("cell_encode_geohash")
+def _q_geohash(dialect: str) -> str:
+    """P2 geohash encode (strategy/geohash.rs:88-137) at precision 8 and the
+    shard/geo-routing precision 4 (event.rs:245-252)."""
+    d = _d(dialect)
+    p = sqlgen.Program("SELECT event_id FROM events", ["event_id"])
+    gh8 = sqlgen.p_geohash_str(p, d, EVENT_LON, EVENT_LAT, 8)
+    gh4 = sqlgen.p_geohash_str(p, d, EVENT_LON, EVENT_LAT, 4)
+    return p.render([
+        "CAST(event_id AS BIGINT) AS event_id",
+        f"{gh8} AS geohash8",
+        f"{gh4} AS geohash4",
+    ])
+
+
+@sql_query("cell_encode_quadkey")
+def _q_quadkey(dialect: str) -> str:
+    """P3 quadkey encode (strategy/quadtree.rs:88-123), depth 9 and 20."""
+    d = _d(dialect)
+    p = sqlgen.Program("SELECT event_id FROM events", ["event_id"])
+    qk9 = sqlgen.p_quadkey(p, d, EVENT_LON, EVENT_LAT, 9)
+    qk20 = sqlgen.p_quadkey(p, d, EVENT_LON, EVENT_LAT, 20)
+    return p.render([
+        "CAST(event_id AS BIGINT) AS event_id",
+        f"CAST({qk9} AS BIGINT) AS quadkey_d9",
+        f"CAST({qk20} AS BIGINT) AS quadkey_d20",
+    ])
+
+
+@sql_query("tile_assign_slippy")
+def _q_tiles(dialect: str) -> str:
+    """T1 slippy projection (project.rs:49-71) at z in {5,12,19} plus MVT
+    in-tile offsets at z12 (extent 4096)."""
+    d = _d(dialect)
+    cols = []
+    for z in (5, 12, 19):
+        x, y = sqlgen.slippy_xy_expr(d, EVENT_LON, EVENT_LAT, z)
+        cols += [f"CAST({x} AS BIGINT) AS tile_x_z{z}",
+                 f"CAST({y} AS BIGINT) AS tile_y_z{z}"]
+    n = 1 << 12
+    fx = f"({n} * (({EVENT_LON} + 180.0e0) / 360.0e0))"
+    rad = f"({EVENT_LAT} * 0.0174533e0)"
+    fy = f"({n} * (1.0e0 - ln(tan({rad}) + 1.0e0 / cos({rad})) / pi()) / 2.0e0)"
+    cols += [
+        f"CAST(floor(4096 * ({fx} - floor({fx}))) AS BIGINT) AS off_x_z12",
+        f"CAST(floor(4096 * ({fy} - floor({fy}))) AS BIGINT) AS off_y_z12",
+    ]
+    return f"SELECT CAST(event_id AS BIGINT) AS event_id, {', '.join(cols)} FROM events"
+
+
+@sql_query("tile_hilbert_key")
+def _q_hilbert(dialect: str) -> str:
+    """T3 hilbert storage key of the z12 tile (fragment.rs:69-71) — the
+    range-prunable sort key for tile scans (bigtable.rs:311-320 analog)."""
+    d = _d(dialect)
+    x, y = sqlgen.slippy_xy_expr(d, EVENT_LON, EVENT_LAT, 12)
+    src = (
+        f"SELECT CAST(event_id AS BIGINT) AS event_id, {x} AS tx, {y} AS ty"
+        f" FROM events"
+    )
+    return sqlgen.hilbert_xy2h_cte_sql(d, src, "tx", "ty", 12, ["event_id"])
+
+
+@sql_query("tile_pyramid_rollup")
+def _q_pyramid(dialect: str) -> str:
+    """T2 tile pyramid: point counts at z19 rolled up to the z12 ancestor
+    (fragment.rs:35-67 parent/child arithmetic: x >> (19-12))."""
+    d = _d(dialect)
+    x, y = sqlgen.slippy_xy_expr(d, EVENT_LON, EVENT_LAT, 19)
+    px = d.shr(f"(CAST({x} AS BIGINT))", 7)
+    py = d.shr(f"(CAST({y} AS BIGINT))", 7)
+    return f"""
+SELECT CAST({px} AS BIGINT) AS tile_x_z12,
+       CAST({py} AS BIGINT) AS tile_y_z12,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COUNT(DISTINCT ({x})) AS BIGINT) AS n_child_x
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@sql_query("partition_assign")
+def _q_partition(dialect: str) -> str:
+    """R9 stable vehicle partitioning: splitmix64(id) % 1024 with the pinned
+    reference hash contract (partition.rs:13-45)."""
+    p = partition_of_sql("user_id", dialect)
+    return f"""
+SELECT CAST({p} AS BIGINT) AS partition_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_vehicles
+FROM events
+GROUP BY 1
+"""
+
+
+@sql_query("spatial_cell_join")
+def _q_cell_join(dialect: str) -> str:
+    """X2/X5 cell equi-join: events joined to 'stations' (derived from
+    supplier) on the shared geohash-5 cell — the DataFrame-level substitute
+    for the R-tree box search (SURVEY §2.2 X2), with exact-distance refine."""
+    d = _d(dialect)
+    pe = sqlgen.Program("SELECT event_id FROM events", ["event_id"])
+    ev_cell = sqlgen.p_geohash_str(pe, d, EVENT_LON, EVENT_LAT, 5)
+    ev_sql = pe.render([
+        "CAST(event_id AS BIGINT) AS event_id",
+        f"{EVENT_LON} AS ev_lon", f"{EVENT_LAT} AS ev_lat",
+        f"{ev_cell} AS cell",
+    ])
+    ps = sqlgen.Program("SELECT s_suppkey FROM supplier", ["s_suppkey"])
+    st_cell = sqlgen.p_geohash_str(ps, d, SUPP_LON, SUPP_LAT, 5)
+    st_sql = ps.render([
+        "CAST(s_suppkey AS BIGINT) AS station_id",
+        f"{SUPP_LON} AS st_lon", f"{SUPP_LAT} AS st_lat",
+        f"{st_cell} AS cell",
+    ])
+    dist = haversine_m_sql("ev_lon", "ev_lat", "st_lon", "st_lat")
+    return f"""
+WITH ev AS ({ev_sql}), st AS ({st_sql})
+SELECT ev.event_id AS event_id,
+       st.station_id AS station_id,
+       round({dist}, 3) AS dist_m
+FROM ev JOIN st ON ev.cell = st.cell
+"""
+
+
+@sql_query("knn_nearest_station")
+def _q_knn(dialect: str) -> str:
+    """X3/X7 nearest-node snap: per event the nearest station by haversine,
+    ties to the lowest id (graph.rs:358-362 min-by semantics)."""
+    dist = haversine_m_sql(EVENT_LON, EVENT_LAT, SUPP_LON, SUPP_LAT)
+    return f"""
+WITH pairs AS (
+  SELECT e.event_id, s.s_suppkey, {dist} AS dist_m,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY {dist}, s.s_suppkey) AS rn
+  FROM events e CROSS JOIN supplier s
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(s_suppkey AS BIGINT) AS nearest_station,
+       round(dist_m, 3) AS dist_m
+FROM pairs WHERE rn = 1
+"""
+
+
+@sql_query("zone_assign_pip")
+def _q_pip(dialect: str) -> str:
+    """Vectorized ray-cast point-in-polygon zone assignment (tz basic
+    backend semantics, storage/basic.rs:27-41) — crossing-number test
+    unrolled over a fixed concave test ring."""
+    # concave hexagon-ish ring in the synthetic bbox (lon, lat)
+    ring = [
+        (-118.50, 33.75), (-118.30, 33.72), (-118.20, 33.90),
+        (-118.35, 33.85), (-118.40, 34.00), (-118.55, 33.95),
+    ]
+    terms = []
+    px, py = EVENT_LON, EVENT_LAT
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        cross = (
+            f"(CASE WHEN (({y1}e0 > {py}) != ({y2}e0 > {py})) AND "
+            f"({px} < {x1}e0 + ({py} - {y1}e0) * ({x2}e0 - {x1}e0) / ({y2}e0 - {y1}e0)) "
+            f"THEN 1 ELSE 0 END)"
+        )
+        terms.append(cross)
+    inside = f"((({' + '.join(terms)}) % 2) = 1)"
+    return f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(CASE WHEN {inside} THEN 1 ELSE 0 END AS BIGINT) AS in_zone
+FROM events
+"""
+
+
+@sql_query("bearing_heading")
+def _q_bearing(dialect: str) -> str:
+    """Haversine bearing between consecutive points of a user's event stream
+    (map_path/entity.rs:149-168 headings; <1 m pairs → NULL)."""
+    lon, lat = EVENT_LON, EVENT_LAT
+    p_lon = f"LAG({lon}) OVER w"
+    p_lat = f"LAG({lat}) OVER w"
+    dist = haversine_m_sql(p_lon, p_lat, lon, lat)
+    brg = bearing_deg_sql(p_lon, p_lat, lon, lat)
+    return f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       round(CASE WHEN {dist} < 1.0e0 THEN NULL ELSE {brg} END, 6) AS heading_deg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@sql_query("gap_sessionize")
+def _q_gap(dialect: str) -> str:
+    """R8 gap/teleport cut: per-user monotonic stream broken where
+    delta-t > 120 s (orchestrator.rs:626-668); session index = cumulative
+    break count."""
+    # events.ts is TIMESTAMP_NTZ in Spark's parquet reader; both casts read
+    # the same stored micros (session TZ pinned to UTC).
+    ep = (
+        "epoch_us(ts)"
+        if dialect == "duckdb"
+        else "unix_micros(CAST(ts AS TIMESTAMP))"
+    )
+    return f"""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN {ep} - LAG({ep}) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 120000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM g
+"""
+
+
+@sql_query("dedup_stale_events")
+def _q_lane_gate(dialect: str) -> str:
+    """R7 lane gate / R11 revision merge: keep one row per (user, ts) by
+    highest event_id (row_number desc semantics, event.rs:99-115)."""
+    return """
+WITH r AS (
+  SELECT event_id, user_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id
+FROM r WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------- relational baseline
+
+
+@sql_query("pricing_summary")
+def _q_pricing(dialect: str) -> str:
+    """TPC-H Q1-shape aggregation — the relational-glue baseline showing
+    partial-aggregate (map-side combine) shuffle shape."""
+    # Sums are computed in integer cents so they are exact and independent
+    # of accumulation order (a parallel Spark sum and a serial DuckDB sum
+    # of doubles would differ in the last bits).
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity * 100.0e0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(round(l_extendedprice * 100.0e0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0e0 - l_discount) * 10000.0e0) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+       round(CAST(SUM(CAST(round(l_quantity * 100.0e0) AS BIGINT)) AS DOUBLE)
+             / 100.0e0 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@sql_query("top_revenue_orders")
+def _q_top_orders(dialect: str) -> str:
+    """Broadcast-join + windowed top-k per segment (M9 top-k analog)."""
+    return """
+WITH rev AS (
+  SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice,
+       CAST(rn AS BIGINT) AS rank
+FROM rev WHERE rn <= 10
+"""
+
+
+@sql_query("dedup_exact_docs")
+def _q_dedup_exact(dialect: str) -> str:
+    """Exact dedup on the documents table: canonical doc id per identical
+    text (hash-groupBy dedup; training-pipeline op)."""
+    return """
+SELECT text,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents
+GROUP BY text
+"""
+
+
+@sql_query("text_quality")
+def _q_text_quality(dialect: str) -> str:
+    """Text quality scoring: whitespace token count, alpha ratio, mean token
+    length (training-pipeline op; pure string ops portable across engines)."""
+    if dialect == "duckdb":
+        n_tok = "len(string_split_regex(trim(text), '\\s+'))"
+        n_alpha = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
+        n_space = "length(regexp_replace(text, '[^ ]', '', 'g'))"
+    else:
+        n_tok = "size(split(trim(text), '\\\\s+'))"
+        n_alpha = "length(regexp_replace(text, '[^a-zA-Z]', ''))"
+        n_space = "length(regexp_replace(text, '[^ ]', ''))"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({n_tok} AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       round(CAST({n_alpha} AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+       round(CAST({n_space} AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS space_ratio
+FROM documents
+WHERE length(text) > 0
+"""
+
+
+# ----------------------------------------------------------------- registry
+
+
+def sql_queries() -> dict[str, Callable[[str], str]]:
+    return dict(_SQL_QUERIES)
+
+
+def spark_fn(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    gen = _SQL_QUERIES[name]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(gen("spark"))
+
+    return run
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spark_fn(name) for name in _SQL_QUERIES}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: gen("duckdb") for name, gen in _SQL_QUERIES.items()}
