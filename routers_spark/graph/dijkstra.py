@@ -1,0 +1,156 @@
+"""Bounded Dijkstra with the reference's exact cost semantics.
+
+Cost = WeightAndDistance (libs/routers_transition/src/primitives/
+weight_and_distance.rs): a running (numerator, denominator) average of
+road-class weights plus cumulative distance in integer centimetres. The heap
+priority is ``repr() = u32(float(num // den)**2 * distance_cm)`` — quadratic
+class weighting so low-class detours lose (weight_and_distance.rs:23-38).
+
+Iteration yields nodes in repr order and STOPS at the first popped node whose
+distance reaches the threshold (``take_while``, cache.rs:320-323) — not a
+filter: later nodes with shorter distance but larger repr are cut too. That
+is the reference's reachability boundary and is reproduced exactly.
+
+Parent maps are memoised per root in a bounded LRU (8192 entries,
+cache.rs:19) — per executor process, shared across Arrow batches.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import OrderedDict
+
+import numpy as np
+
+from routers_spark.config import DIJKSTRA_BOUND_CM, PREDICATE_CACHE_CAPACITY
+
+
+def bounded_dijkstra_parents(
+    graph, root_idx: int, threshold_cm: float = DIJKSTRA_BOUND_CM
+) -> dict[int, int]:
+    """Parent-pointer map of every node popped before the distance cutoff
+    (PredicateCache::calculate, cache.rs:291-326). Keys/values are dense
+    node indices; the root maps to itself (reference uses
+    ``parent.unwrap_or_default()`` for the root)."""
+    indptr = graph.csr_indptr
+    erows = graph.csr_edge_row
+    edst = graph.edge_dst
+    ew = graph.edge_weight
+    elen = graph.edge_len_cm
+
+    # heap entries: (repr, seq, node, num, den, dist_cm, parent)
+    # seq keeps ties deterministic (FIFO); the Rust BinaryHeap tie order is
+    # unspecified, so tie determinism is OURS by definition.
+    seq = 0
+    heap = [(0, seq, root_idx, 0, 0, 0, root_idx)]
+    best: dict[int, tuple[int, int]] = {root_idx: (0, 0)}  # node -> (repr, seq at push)
+    parents: dict[int, int] = {}
+    seen: set[int] = set()
+
+    while heap:
+        rep, _, node, num, den, dist, parent = heapq.heappop(heap)
+        if node in seen:
+            continue
+        seen.add(node)
+        if float(dist) >= threshold_cm:
+            break  # take_while: iteration ends entirely
+        parents[node] = parent
+        for e in erows[indptr[node]:indptr[node + 1]]:
+            nxt = int(edst[e])
+            if nxt in seen:
+                continue
+            n_num = num + int(ew[e])
+            n_den = den + 1
+            n_dist = dist + int(elen[e])
+            n_rep = int(float((n_num // n_den) ** 2) * float(n_dist)) & 0xFFFFFFFF
+            prev = best.get(nxt)
+            if prev is not None and prev[0] <= n_rep:
+                continue
+            seq += 1
+            best[nxt] = (n_rep, seq)
+            heapq.heappush(heap, (n_rep, seq, nxt, n_num, n_den, n_dist, node))
+    return parents
+
+
+def parent_path(parents: dict[int, int], root: int, leaf: int) -> list[int] | None:
+    """Nodes root→leaf inclusive via parent pointers (expansion.rs:26-39),
+    or None when leaf is outside the bound."""
+    if leaf not in parents:
+        return None
+    nodes = [leaf]
+    cursor = leaf
+    while cursor != root:
+        parent = parents.get(cursor)
+        if parent is None:
+            return None
+        nodes.append(parent)
+        cursor = parent
+    nodes.reverse()
+    return nodes
+
+
+class PredicateCache:
+    """Bounded read-through LRU of parent maps keyed by root index
+    (cache.rs:19,113-122). One per executor process via module singleton."""
+
+    def __init__(self, capacity: int = PREDICATE_CACHE_CAPACITY,
+                 threshold_cm: float = DIJKSTRA_BOUND_CM):
+        self.capacity = capacity
+        self.threshold_cm = threshold_cm
+        self._map: OrderedDict[tuple[int, int], dict[int, int]] = OrderedDict()
+
+    def query(self, graph, root_idx: int) -> dict[int, int]:
+        key = (id(graph), root_idx)
+        hit = self._map.get(key)
+        if hit is not None:
+            self._map.move_to_end(key)
+            return hit
+        parents = bounded_dijkstra_parents(graph, root_idx, self.threshold_cm)
+        self._map[key] = parents
+        if len(self._map) > self.capacity:
+            self._map.popitem(last=False)
+        return parents
+
+
+GLOBAL_PREDICATE_CACHE = PredicateCache()
+
+
+def route_nodes(graph, a_idx: int, b_idx: int) -> tuple[list[int], int] | None:
+    """G4 point-to-point route: Dijkstra (the reference's A* runs a zero
+    heuristic, graph.rs:364-385) over raw edge weights ``w``. Returns
+    (node index path, total weight) or None."""
+    indptr = graph.csr_indptr
+    erows = graph.csr_edge_row
+    edst = graph.edge_dst
+    ew = graph.edge_weight
+    seq = 0
+    heap = [(0, seq, a_idx)]
+    dist = {a_idx: 0}
+    prev: dict[int, int] = {}
+    seen: set[int] = set()
+    while heap:
+        cost, _, node = heapq.heappop(heap)
+        if node in seen:
+            continue
+        seen.add(node)
+        if node == b_idx:
+            path = [node]
+            while path[-1] != a_idx:
+                path.append(prev[path[-1]])
+            return path[::-1], cost
+        for e in erows[indptr[node]:indptr[node + 1]]:
+            nxt = int(edst[e])
+            ncost = cost + int(ew[e])
+            if nxt not in dist or ncost < dist[nxt]:
+                dist[nxt] = ncost
+                prev[nxt] = node
+                seq += 1
+                heapq.heappush(heap, (ncost, seq, nxt))
+    return None
+
+
+def nearest_node(graph, lon: float, lat: float) -> int:
+    """X7 snap: planar-squared nearest node (composite/network.rs:155-165
+    min-by d2 semantics)."""
+    d2 = (graph.node_lon - lon) ** 2 + (graph.node_lat - lat) ** 2
+    return int(np.argmin(d2))

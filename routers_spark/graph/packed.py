@@ -1,0 +1,225 @@
+"""Packed road graph: the executor-resident broadcast structure.
+
+The analog of the reference's pointer-free network (petgraph DiGraphMap +
+FxHashMaps + two Hilbert-packed R-trees,
+libs/routers_codec/src/osm/graph.rs:41-52, index.rs:42-57) re-expressed as
+flat numpy arrays:
+
+  - node id -> dense index (sorted ids, searchsorted lookup)
+  - CSR adjacency (indptr/indices/edge-row) for successor scans
+  - per-edge: src/dst index, class weight, haversine length in cm (u32,
+    truncated exactly like the successor cache, cache.rs:204-213)
+  - a uniform cell-bucket spatial index over edge bounding boxes (the
+    packed-R-tree substitute: same query API — box -> candidate edge rows)
+
+One instance is built on the driver, broadcast once, and memoised per
+executor process (module-level cache) — the "rebuild indices on load"
+lifecycle of graph.rs:145-178.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from routers_spark.functions.geo import haversine_m_np
+
+
+class PackedGraph:
+    def __init__(
+        self,
+        node_ids: np.ndarray,      # int64, sorted
+        node_lon: np.ndarray,      # float64, aligned to node_ids
+        node_lat: np.ndarray,
+        edge_id: np.ndarray,       # int64 per directed edge row
+        edge_src: np.ndarray,      # int32 dense node index
+        edge_dst: np.ndarray,      # int32 dense node index
+        edge_weight: np.ndarray,   # uint32 road-class weight
+    ):
+        self.node_ids = node_ids
+        self.node_lon = node_lon
+        self.node_lat = node_lat
+        self.edge_id = edge_id
+        self.edge_src = edge_src
+        self.edge_dst = edge_dst
+        self.edge_weight = edge_weight.astype(np.uint32)
+
+        # per-edge geometry + length (cm, truncated: cache.rs:211 `as u32`)
+        self.ax = node_lon[edge_src]
+        self.ay = node_lat[edge_src]
+        self.bx = node_lon[edge_dst]
+        self.by = node_lat[edge_dst]
+        len_m = haversine_m_np(self.ax, self.ay, self.bx, self.by)
+        self.edge_len_cm = (len_m * 100.0).astype(np.uint64).astype(np.uint32)
+        # edge bearing; NaN for degenerate <1 m edges (entry.rs:109-126)
+        from routers_spark.functions.geo import bearing_deg_np
+
+        self.edge_heading = np.where(
+            len_m < 1.0, np.nan,
+            bearing_deg_np(self.ax, self.ay, self.bx, self.by),
+        )
+
+        # CSR adjacency over directed edges, ordered by (src, edge row)
+        n = len(node_ids)
+        order = np.argsort(edge_src, kind="stable")
+        self.csr_edge_row = order.astype(np.int64)
+        self.csr_indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(self.csr_indptr, edge_src + 1, 1)
+        np.cumsum(self.csr_indptr, out=self.csr_indptr)
+
+        # (src, dst) -> edge row lookup (G2 edge(a,b), graph.rs:346-355);
+        # first matching row wins, mirroring the single-edge graph map.
+        key = edge_src.astype(np.int64) * n + edge_dst.astype(np.int64)
+        korder = np.argsort(key, kind="stable")
+        self._pair_keys = key[korder]
+        self._pair_rows = korder.astype(np.int64)
+        self._n_nodes = n
+
+        self._cell_index = None
+
+    # ------------------------------------------------------------- lookups
+
+    def node_index(self, ids) -> np.ndarray:
+        idx = np.searchsorted(self.node_ids, ids)
+        return idx
+
+    def edge_row(self, src_idx: int, dst_idx: int) -> int:
+        """Edge row for (src, dst) dense indices, or -1 (G2)."""
+        key = src_idx * self._n_nodes + dst_idx
+        i = np.searchsorted(self._pair_keys, key)
+        if i < len(self._pair_keys) and self._pair_keys[i] == key:
+            return int(self._pair_rows[i])
+        return -1
+
+    def successors(self, node_idx: int):
+        """Outgoing edge rows of a node (G1 edges_outof)."""
+        lo, hi = self.csr_indptr[node_idx], self.csr_indptr[node_idx + 1]
+        return self.csr_edge_row[lo:hi]
+
+    # -------------------------------------------------------- spatial index
+
+    def build_cell_index(self, cell_deg: float = 0.002):
+        """Uniform-grid bucket index over edge bounding boxes — the packed
+        R-tree substitute (X1, index.rs:42-57). Each edge is registered in
+        every cell its bbox touches (the padding-duplication idea of
+        selection.rs:52-96 applied at index granularity); queries dedup by
+        construction of the candidate mask.
+
+        cell_deg ~0.002 deg ≈ 200 m: sized so a 50 m search box touches at
+        most 4 cells.
+        """
+        min_x = np.minimum(self.ax, self.bx)
+        max_x = np.maximum(self.ax, self.bx)
+        min_y = np.minimum(self.ay, self.by)
+        max_y = np.maximum(self.ay, self.by)
+        x0 = float(min_x.min())
+        y0 = float(min_y.min())
+        cx0 = np.floor((min_x - x0) / cell_deg).astype(np.int64)
+        cx1 = np.floor((max_x - x0) / cell_deg).astype(np.int64)
+        cy0 = np.floor((min_y - y0) / cell_deg).astype(np.int64)
+        cy1 = np.floor((max_y - y0) / cell_deg).astype(np.int64)
+        nx = int(cx1.max()) + 1
+        ny = int(cy1.max()) + 1
+
+        # explode edge -> covered cells (bounded: grid edges span few cells)
+        counts = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+        total = int(counts.sum())
+        edge_of = np.repeat(np.arange(len(self.edge_id)), counts)
+        # per-edge local cell offsets
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        w = np.repeat(cx1 - cx0 + 1, counts)
+        dx = offs % w
+        dy = offs // w
+        cell = (np.repeat(cy0, counts) + dy) * nx + (np.repeat(cx0, counts) + dx)
+
+        order = np.argsort(cell, kind="stable")
+        cell_sorted = cell[order]
+        edge_sorted = edge_of[order]
+        uniq, starts = np.unique(cell_sorted, return_index=True)
+        self._cell_index = {
+            "x0": x0, "y0": y0, "cell_deg": cell_deg, "nx": nx, "ny": ny,
+            "uniq": uniq, "starts": starts,
+            "ends": np.append(starts[1:], len(cell_sorted)),
+            "edges": edge_sorted,
+        }
+        return self
+
+    def box_query(self, min_lon, min_lat, max_lon, max_lat) -> np.ndarray:
+        """Edge rows whose bbox intersects the box (X2 search, index.rs:73-79),
+        in edge-row order (our canonical candidate order)."""
+        ci = self._cell_index
+        cd = ci["cell_deg"]
+        cx0 = max(int(np.floor((min_lon - ci["x0"]) / cd)), 0)
+        cx1 = min(int(np.floor((max_lon - ci["x0"]) / cd)), ci["nx"] - 1)
+        cy0 = max(int(np.floor((min_lat - ci["y0"]) / cd)), 0)
+        cy1 = min(int(np.floor((max_lat - ci["y0"]) / cd)), ci["ny"] - 1)
+        if cx1 < cx0 or cy1 < cy0:
+            return np.empty(0, dtype=np.int64)
+        cells = [
+            cy * ci["nx"] + cx
+            for cy in range(cy0, cy1 + 1)
+            for cx in range(cx0, cx1 + 1)
+        ]
+        pos = np.searchsorted(ci["uniq"], cells)
+        chunks = []
+        for p, c in zip(pos, cells):
+            if p < len(ci["uniq"]) and ci["uniq"][p] == c:
+                chunks.append(ci["edges"][ci["starts"][p]:ci["ends"][p]])
+        if not chunks:
+            return np.empty(0, dtype=np.int64)
+        cand = np.unique(np.concatenate(chunks))
+        # exact bbox intersection refine
+        keep = (
+            (np.minimum(self.ax[cand], self.bx[cand]) <= max_lon)
+            & (np.maximum(self.ax[cand], self.bx[cand]) >= min_lon)
+            & (np.minimum(self.ay[cand], self.by[cand]) <= max_lat)
+            & (np.maximum(self.ay[cand], self.by[cand]) >= min_lat)
+        )
+        return cand[keep]
+
+    # --------------------------------------------------------- serialization
+
+    def to_broadcastable(self) -> dict:
+        """Plain dict of arrays (pickles compactly for sc.broadcast)."""
+        return {
+            "node_ids": self.node_ids, "node_lon": self.node_lon,
+            "node_lat": self.node_lat, "edge_id": self.edge_id,
+            "edge_src": self.edge_src, "edge_dst": self.edge_dst,
+            "edge_weight": self.edge_weight,
+        }
+
+    @classmethod
+    def from_broadcastable(cls, d: dict) -> "PackedGraph":
+        g = cls(d["node_ids"], d["node_lon"], d["node_lat"], d["edge_id"],
+                d["edge_src"], d["edge_dst"], d["edge_weight"])
+        return g
+
+
+# per-executor-process memo: broadcast payloads hydrate once per worker
+# (the analog of the reference's rebuild-indices-on-load, graph.rs:145-178)
+_HYDRATED: dict[int, PackedGraph] = {}
+
+
+def hydrate(bc) -> PackedGraph:
+    key = bc.id
+    g = _HYDRATED.get(key)
+    if g is None:
+        g = PackedGraph.from_broadcastable(bc.value).build_cell_index()
+        _HYDRATED[key] = g
+    return g
+
+
+def build_packed_graph(nodes_pdf, edges_pdf) -> PackedGraph:
+    """From pandas frames nodes(node_id, lon, lat),
+    edges(edge_id, src, dst, weight)."""
+    order = np.argsort(nodes_pdf["node_id"].values)
+    node_ids = nodes_pdf["node_id"].values[order].astype(np.int64)
+    node_lon = nodes_pdf["lon"].values[order].astype(np.float64)
+    node_lat = nodes_pdf["lat"].values[order].astype(np.float64)
+    src_idx = np.searchsorted(node_ids, edges_pdf["src"].values).astype(np.int32)
+    dst_idx = np.searchsorted(node_ids, edges_pdf["dst"].values).astype(np.int32)
+    return PackedGraph(
+        node_ids, node_lon, node_lat,
+        edges_pdf["edge_id"].values.astype(np.int64),
+        src_idx, dst_idx,
+        edges_pdf["weight"].values.astype(np.uint32),
+    )

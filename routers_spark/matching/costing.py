@@ -1,0 +1,95 @@
+"""Costing: emission + transition heuristics, bit-compatible with the
+reference defaults.
+
+  - decay:      cost(v) = (PRECISION * ZETA * (1/clamp(v,1e-6,1))^BETA) as u32
+                (costing/util.rs:29-39)
+  - emission:   calculate = exp(-sqrt(distance / 25 m))
+                (costing/default.rs:62-65)
+  - transition: sqrt(deviance * turn_cost * class_continuity), each factor
+                clamped to [1e-6, 1] (costing/default.rs:137-163)
+  - angular complexity: wrapped heading deltas → cos(angle·π/180·0.8)
+                clamped [0,1]; any zero → 0; else harmonic mean
+                (map_path/entity.rs:229-297)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from routers_spark.config import (
+    COST_DAMPING,
+    COST_PRECISION,
+    DEFAULT_EMISSION_ERROR_M,
+    MAX_WEIGHT,
+    MIN_HEADING_DIST_M,
+)
+from routers_spark.functions.geo import (
+    bearing_deg_np,
+    haversine_m_np,
+    wrap_angle_np,
+)
+
+_EPS = 1e-6
+
+
+def decay_u32(values: np.ndarray) -> np.ndarray:
+    """[0,1] heuristic value → u32 cost, ζ=β=1 (util.rs:29-39). The trailing
+    ``as u32`` truncation is part of the contract."""
+    v = np.clip(np.asarray(values, dtype=np.float64), _EPS, 1.0)
+    return (COST_PRECISION * (1.0 / v)).astype(np.uint32)
+
+
+def emission_cost_u32(distance_m: np.ndarray,
+                      emission_error: float = DEFAULT_EMISSION_ERROR_M) -> np.ndarray:
+    """Gaussian-family emission on the perpendicular (projected) distance
+    (default.rs:62-65): exp(-sqrt(d / err)) → decay."""
+    d = np.asarray(distance_m, dtype=np.float64)
+    return decay_u32(np.exp(-np.sqrt(d / emission_error)))
+
+
+def headings_from_positions(lons: np.ndarray, lats: np.ndarray) -> np.ndarray:
+    """Consecutive-pair bearings, skipping pairs closer than 1 m
+    (map_path/entity.rs:149-168)."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    if len(lons) < 2:
+        return np.empty(0, dtype=np.float64)
+    d = haversine_m_np(lons[:-1], lats[:-1], lons[1:], lats[1:])
+    keep = d >= MIN_HEADING_DIST_M
+    return bearing_deg_np(lons[:-1][keep], lats[:-1][keep],
+                          lons[1:][keep], lats[1:][keep])
+
+
+def complexity_from_headings(headings: np.ndarray) -> float:
+    """Harmonic-mean angular complexity over heading deltas
+    (map_path/entity.rs:264-297). Empty deltas → 1.0."""
+    if len(headings) < 2:
+        return 1.0
+    deltas = wrap_angle_np(np.diff(headings))
+    costs = np.clip(
+        np.cos(np.clip(deltas, -180.0, 180.0) * np.pi / 180.0 * COST_DAMPING),
+        0.0, 1.0,
+    )
+    if np.any(costs <= 0.0):
+        return 0.0
+    return float(np.clip(len(costs) / np.sum(1.0 / costs), 0.0, 1.0))
+
+
+def transition_value(
+    straightline_m: float,
+    route_length_m: float,
+    angular: float,
+    src_weight: int,
+    tgt_weight: int,
+) -> float:
+    """The [0,1] transition heuristic (default.rs:137-163)."""
+    deviance = 1.0 if route_length_m <= 0.0 else straightline_m / route_length_m
+    deviance = min(max(deviance, _EPS), 1.0)
+    turn = min(max(angular, _EPS), 1.0)
+    cont = min(max(src_weight / tgt_weight, _EPS), 1.0)
+    return float(np.sqrt(deviance * turn * cont))
+
+
+def transition_cost_u32(value: float) -> int:
+    """decay + trellis ceiling clamp (weigh/mod.rs:83: ``.min(MAX_WEIGHT)``)."""
+    return min(int(decay_u32(np.array([value]))[0]), MAX_WEIGHT)

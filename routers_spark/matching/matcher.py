@@ -1,0 +1,392 @@
+"""HMM/Viterbi map matching: the engine's primary query.
+
+Spark shape (SURVEY.md §3.1): the road graph is packed + broadcast once
+(north rule: "broadcast packed R-tree"); trips shuffle once on trip_id; each
+trip is solved inside one Arrow-batched ``applyInPandas`` call — candidate
+generation (X6), boundary weighing (M4-M9), Viterbi (M11), collapse (M15/16)
+all run against the executor-resident graph with a process-wide predicate
+LRU (O4). No per-row Python at the DataFrame level.
+
+Semantics are the reference batch facade
+(libs/routers_transition/src/match/implementation.rs:20-41 →
+matcher/entity.rs:304-333):
+  - candidates: every edge whose bbox intersects the 50 m square box,
+    projected planar, no radial post-filter (scan.rs:22-44 over-selection is
+    BY DESIGN)
+  - all-or-nothing unanchored batches (entity.rs:166-193)
+  - unresolvable boundary → DisconnectedError (entity.rs:221-226)
+  - collapse re-derives hop geometry from the warm cache (entity.rs:337-358)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from routers_spark.config import (
+    DEFAULT_EMISSION_ERROR_M,
+    DEFAULT_SEARCH_DISTANCE_M,
+    NO_EDGE,
+    SELECTIVE_FANOUT,
+)
+from routers_spark.functions.geo import (
+    haversine_m_np,
+    line_locate_point_np,
+    point_at_ratio_np,
+    square_box_np,
+)
+from routers_spark.graph.dijkstra import (
+    GLOBAL_PREDICATE_CACHE,
+    parent_path,
+)
+from routers_spark.matching import costing
+from routers_spark.matching.trellis import Trellis, Unreachable
+
+
+@dataclass
+class MatchOptions:
+    search_distance: float = DEFAULT_SEARCH_DISTANCE_M
+    emission_error: float = DEFAULT_EMISSION_ERROR_M
+    selective_fanout: int | None = None  # None = AllCompute (exact, default)
+    drop_unanchored: bool = False  # streaming semantics (bin/matcher.rs:143-157)
+
+
+# -------------------------------------------------------- candidate search
+
+
+def candidates_for_point(graph, lon: float, lat: float, search_distance: float,
+                         emission_error: float) -> dict:
+    """M1/X6: one candidate per edge intersecting the square box — projected
+    position, distance, emission cost. Canonical candidate order = ascending
+    edge row (stable; the trellis tie-breaks depend on it)."""
+    min_lon, min_lat, max_lon, max_lat = square_box_np([lon], [lat], search_distance)
+    rows = graph.box_query(min_lon[0], min_lat[0], max_lon[0], max_lat[0])
+    if len(rows) == 0:
+        return {
+            "edge_row": rows, "frac": np.empty(0), "px": np.empty(0),
+            "py": np.empty(0), "dist_m": np.empty(0),
+            "emission": np.empty(0, dtype=np.uint32),
+        }
+    ax, ay = graph.ax[rows], graph.ay[rows]
+    bx, by = graph.bx[rows], graph.by[rows]
+    frac = line_locate_point_np(ax, ay, bx, by, lon, lat)
+    frac_f = np.where(np.isnan(frac), 0.0, frac)
+    px, py = point_at_ratio_np(ax, ay, bx, by, frac_f)
+    dist = haversine_m_np(px, py, lon, lat)
+    emission = costing.emission_cost_u32(dist, emission_error)
+    return {
+        "edge_row": rows, "frac": frac, "px": px, "py": py,
+        "dist_m": dist, "emission": emission,
+    }
+
+
+# ------------------------------------------------------------ transitions
+
+
+def _edge_heading(graph, row: int) -> float:
+    """Edge bearing, NaN when degenerate <1 m (candidate/entry.rs:109-126)."""
+    return float(graph.edge_heading[row])
+
+
+def reach(graph, cache, src: dict, tgt: dict) -> tuple[str, list[int]] | None:
+    """How tgt is reached from src (Expansion::reach, expansion.rs:63-97).
+
+    Returns (resolution, path_edge_rows) or None when unreachable.
+    resolution: 'direct' (same-edge DistanceOnly) or 'standard'.
+    """
+    if src["edge_row"] == tgt["edge_row"]:
+        # same directed edge: ahead → direct; degenerate frac → unreachable
+        if np.isnan(src["frac"]) or np.isnan(tgt["frac"]):
+            return None
+        if src["frac"] <= tgt["frac"]:
+            return ("direct", [])
+        # same-edge backtrack falls through to routing
+    root = int(graph.edge_dst[src["edge_row"]])
+    leaf = int(graph.edge_src[tgt["edge_row"]])
+    parents = cache.query(graph, root)
+    nodes = parent_path(parents, root, leaf)
+    if nodes is None:
+        return None
+    path_rows = []
+    for a, b in zip(nodes, nodes[1:]):
+        r = graph.edge_row(a, b)
+        if r >= 0:  # filter_map semantics: silently skip missing (G2)
+            path_rows.append(r)
+    return ("standard", path_rows)
+
+
+def transition_cost(graph, cache, src: dict, tgt: dict) -> tuple[int, tuple] | None:
+    """M4: u32 transition cost for a candidate pair, or None (→ NO_EDGE).
+    Also returns the (resolution, path_rows) for collapse reuse."""
+    r = reach(graph, cache, src, tgt)
+    if r is None:
+        return None
+    resolution, path_rows = r
+
+    # path nodes from edges: sources + last target (resolve.rs:67-77)
+    if path_rows:
+        node_idx = [int(graph.edge_src[e]) for e in path_rows]
+        node_idx.append(int(graph.edge_dst[path_rows[-1]]))
+        mp_lon = graph.node_lon[node_idx]
+        mp_lat = graph.node_lat[node_idx]
+        mp_len = float(np.sum(haversine_m_np(mp_lon[:-1], mp_lat[:-1],
+                                             mp_lon[1:], mp_lat[1:])))
+    else:
+        mp_lon = np.empty(0)
+        mp_lat = np.empty(0)
+        mp_len = 0.0
+
+    # offsets (transition.rs:205-238)
+    if resolution == "direct":
+        offset = float(haversine_m_np([src["px"]], [src["py"]],
+                                      [tgt["px"]], [tgt["py"]])[0])
+    else:
+        tail_src = float(haversine_m_np(
+            [src["px"]], [src["py"]],
+            [graph.bx[src["edge_row"]]], [graph.by[src["edge_row"]]])[0])
+        tail_tgt = float(haversine_m_np(
+            [graph.ax[tgt["edge_row"]]], [graph.ay[tgt["edge_row"]]],
+            [tgt["px"]], [tgt["py"]])[0])
+        offset = tail_src + tail_tgt
+
+    route_length = mp_len + offset
+    straight = float(haversine_m_np([src["px"]], [src["py"]],
+                                    [tgt["px"]], [tgt["py"]])[0])
+
+    # angular complexity with explicit endpoint headings
+    # (transition.rs:148-156 + map_path/entity.rs:260-283)
+    pos_lon = np.concatenate([[src["px"]], mp_lon, [tgt["px"]]])
+    pos_lat = np.concatenate([[src["py"]], mp_lat, [tgt["py"]]])
+    mids = costing.headings_from_positions(pos_lon, pos_lat)
+    heads = []
+    h_src = _edge_heading(graph, src["edge_row"])
+    h_tgt = _edge_heading(graph, tgt["edge_row"])
+    if not np.isnan(h_src):
+        heads.append(h_src)
+    heads.extend(mids.tolist())
+    if not np.isnan(h_tgt):
+        heads.append(h_tgt)
+    angular = costing.complexity_from_headings(np.asarray(heads))
+
+    value = costing.transition_value(
+        straight, route_length, angular,
+        int(graph.edge_weight[src["edge_row"]]),
+        int(graph.edge_weight[tgt["edge_row"]]),
+    )
+    return costing.transition_cost_u32(value), (resolution, path_rows)
+
+
+# ------------------------------------------------------------- trip solver
+
+
+def _cand(layer: dict, i: int) -> dict:
+    return {
+        "edge_row": int(layer["edge_row"][i]),
+        "frac": float(layer["frac"][i]),
+        "px": float(layer["px"][i]),
+        "py": float(layer["py"][i]),
+    }
+
+
+def solve_trip(graph, layers: list[dict], opts: MatchOptions) -> dict:
+    """Weigh + solve + collapse one trip. Returns
+    {status, breaks, path, cost, hops} where path[i] is the chosen candidate
+    index per layer and hops[i] the (resolution, path_rows) of boundary i."""
+    widths = [len(l["edge_row"]) for l in layers]
+    empty = [i for i, w in enumerate(widths) if w == 0]
+    if empty:
+        return {"status": "unanchored", "breaks": empty, "path": None,
+                "cost": None, "hops": None}
+
+    t = Trellis([widths[0]])
+    t.fill_nodes(0, layers[0]["emission"])
+    for k in range(1, len(widths)):
+        t.add_layer(widths[k], layers[k]["emission"])
+
+    cache = GLOBAL_PREDICATE_CACHE
+    for k in range(len(widths) - 1):
+        A, B = layers[k], layers[k + 1]
+        m, n = widths[k], widths[k + 1]
+        mat = np.full((m, n), np.uint32(NO_EDGE), dtype=np.uint32)
+        for i in range(m):
+            src = _cand(A, i)
+            if opts.selective_fanout is not None and n > opts.selective_fanout:
+                d = haversine_m_np(src["px"], src["py"], B["px"], B["py"])
+                sel = np.argpartition(d, opts.selective_fanout - 1)[
+                    : opts.selective_fanout
+                ]
+                targets = sel.tolist()
+            else:
+                targets = range(n)
+            for j in targets:
+                res = transition_cost(graph, cache, src, _cand(B, j))
+                if res is not None:
+                    mat[i, j] = res[0]
+        if not np.all(mat == np.uint32(NO_EDGE)):
+            t.fill_transition(k, mat)
+
+    breaks = t.disconnections()
+    if breaks:
+        return {"status": "disconnected", "breaks": breaks, "path": None,
+                "cost": None, "hops": None}
+
+    try:
+        path, cost = t.solve()
+    except Unreachable:
+        return {"status": "unreachable", "breaks": [], "path": None,
+                "cost": None, "hops": None}
+
+    # collapse: re-derive chosen hops from the warm cache (entity.rs:337-358)
+    hops = []
+    for k in range(len(path) - 1):
+        hops.append(reach(graph, cache, _cand(layers[k], path[k]),
+                          _cand(layers[k + 1], path[k + 1])))
+    return {"status": "matched", "breaks": [], "path": path, "cost": cost,
+            "hops": hops}
+
+
+# --------------------------------------------------------------- Spark API
+
+DISCRETIZED_SCHEMA = (
+    "trip_id string, seq int, edge_id long, matched_lon double, "
+    "matched_lat double, frac double, dist_m double, emission long, "
+    "trip_cost long, status string"
+)
+
+INTERPOLATED_SCHEMA = (
+    "trip_id string, elem int, lon double, lat double, edge_id long, "
+    "kind string, trip_cost long, status string"
+)
+
+
+def _solve_pdf(pdf: pd.DataFrame, graph, opts: MatchOptions,
+               output: str) -> pd.DataFrame:
+    trip_id = pdf["trip_id"].iloc[0]
+    pdf = pdf.sort_values("seq")
+    lons = pdf["lon"].values
+    lats = pdf["lat"].values
+    seqs = pdf["seq"].values
+
+    layers = [
+        candidates_for_point(graph, float(lons[i]), float(lats[i]),
+                             opts.search_distance, opts.emission_error)
+        for i in range(len(lons))
+    ]
+    if opts.drop_unanchored:
+        keep = [i for i, l in enumerate(layers) if len(l["edge_row"]) > 0]
+        layers = [layers[i] for i in keep]
+        seqs = seqs[keep]
+        if not layers:
+            return _status_row(trip_id, "unanchored", output)
+
+    result = solve_trip(graph, layers, opts)
+    if result["status"] != "matched":
+        return _status_row(trip_id, result["status"], output)
+
+    path, cost, hops = result["path"], result["cost"], result["hops"]
+    if output == "discretized":
+        rows = {
+            "trip_id": trip_id,
+            "seq": seqs.astype("int32"),
+            "edge_id": np.array(
+                [graph.edge_id[layers[k]["edge_row"][path[k]]]
+                 for k in range(len(path))], dtype=np.int64),
+            "matched_lon": np.array(
+                [layers[k]["px"][path[k]] for k in range(len(path))]),
+            "matched_lat": np.array(
+                [layers[k]["py"][path[k]] for k in range(len(path))]),
+            "frac": np.array(
+                [layers[k]["frac"][path[k]] for k in range(len(path))]),
+            "dist_m": np.array(
+                [layers[k]["dist_m"][path[k]] for k in range(len(path))]),
+            "emission": np.array(
+                [layers[k]["emission"][path[k]] for k in range(len(path))],
+                dtype=np.int64),
+            "trip_cost": np.int64(cost),
+            "status": "matched",
+        }
+        return pd.DataFrame(rows)
+
+    # interpolated (RoutedPath::new, candidate/route.rs:46-141)
+    elems: list[tuple[float, float, int, str]] = []
+
+    def add(lon, lat, edge_id, kind):
+        elems.append((float(lon), float(lat), int(edge_id), kind))
+
+    first_row = layers[0]["edge_row"][path[0]]
+    add(graph.ax[first_row], graph.ay[first_row], graph.edge_id[first_row],
+        "edge_source")
+    for k in range(len(path) - 1):
+        cur_row = layers[k]["edge_row"][path[k]]
+        add(layers[k]["px"][path[k]], layers[k]["py"][path[k]],
+            graph.edge_id[cur_row], "candidate")
+        resolution, path_rows = hops[k]
+        if resolution == "standard":
+            add(graph.bx[cur_row], graph.by[cur_row], graph.edge_id[cur_row],
+                "edge_target")
+            for e in path_rows:
+                add(graph.ax[e], graph.ay[e], graph.edge_id[e], "bridge")
+            nxt_row = layers[k + 1]["edge_row"][path[k + 1]]
+            add(graph.ax[nxt_row], graph.ay[nxt_row], graph.edge_id[nxt_row],
+                "edge_source")
+    last_row = layers[-1]["edge_row"][path[-1]]
+    add(layers[-1]["px"][path[-1]], layers[-1]["py"][path[-1]],
+        graph.edge_id[last_row], "candidate")
+
+    # dedup consecutive identical points (route.rs:131)
+    dedup = [e for i, e in enumerate(elems)
+             if i == 0 or (e[0], e[1]) != (elems[i - 1][0], elems[i - 1][1])]
+    return pd.DataFrame({
+        "trip_id": trip_id,
+        "elem": np.arange(len(dedup), dtype="int32"),
+        "lon": [e[0] for e in dedup],
+        "lat": [e[1] for e in dedup],
+        "edge_id": np.array([e[2] for e in dedup], dtype=np.int64),
+        "kind": [e[3] for e in dedup],
+        "trip_cost": np.int64(cost),
+        "status": "matched",
+    })
+
+
+def _status_row(trip_id: str, status: str, output: str) -> pd.DataFrame:
+    if output == "discretized":
+        return pd.DataFrame({
+            "trip_id": [trip_id], "seq": np.array([-1], dtype="int32"),
+            "edge_id": np.array([-1], dtype=np.int64),
+            "matched_lon": [np.nan], "matched_lat": [np.nan],
+            "frac": [np.nan], "dist_m": [np.nan],
+            "emission": np.array([-1], dtype=np.int64),
+            "trip_cost": np.array([-1], dtype=np.int64), "status": [status],
+        })
+    return pd.DataFrame({
+        "trip_id": [trip_id], "elem": np.array([-1], dtype="int32"),
+        "lon": [np.nan], "lat": [np.nan],
+        "edge_id": np.array([-1], dtype=np.int64), "kind": ["none"],
+        "trip_cost": np.array([-1], dtype=np.int64), "status": [status],
+    })
+
+
+def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
+                output: str = "discretized"):
+    """M17 facade: match every trip in points_df(trip_id, seq, lon, lat)
+    against the road graph given as nodes(node_id, lon, lat) /
+    edges(edge_id, src, dst, weight) DataFrames.
+
+    The graph is collected once, packed, and broadcast; trips shuffle once on
+    trip_id (the only wide dependency) and solve independently per group.
+    """
+    opts = opts or MatchOptions()
+    spark = points_df.sparkSession
+    from routers_spark.graph.packed import build_packed_graph, hydrate
+
+    g = build_packed_graph(nodes_df.toPandas(), edges_df.toPandas())
+    bc = spark.sparkContext.broadcast(g.to_broadcastable())
+
+    schema = DISCRETIZED_SCHEMA if output == "discretized" else INTERPOLATED_SCHEMA
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _solve_pdf(pdf, hydrate(bc), opts, output)
+
+    return points_df.groupBy("trip_id").applyInPandas(run, schema=schema)
