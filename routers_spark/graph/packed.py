@@ -196,11 +196,13 @@ class PackedGraph:
 
 # per-executor-process memo: broadcast payloads hydrate once per worker
 # (the analog of the reference's rebuild-indices-on-load, graph.rs:145-178)
-_HYDRATED: dict[int, PackedGraph] = {}
+_HYDRATED: dict[str, PackedGraph] = {}
 
 
-def hydrate(bc) -> PackedGraph:
-    key = bc.id
+def hydrate(bc, key: str) -> PackedGraph:
+    """Hydrate (and memoise) a broadcast graph in this worker process.
+    ``key`` is a caller-supplied stable token (pyspark's Broadcast exposes no
+    id on executors)."""
     g = _HYDRATED.get(key)
     if g is None:
         g = PackedGraph.from_broadcastable(bc.value).build_cell_index()

@@ -381,12 +381,15 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
     spark = points_df.sparkSession
     from routers_spark.graph.packed import build_packed_graph, hydrate
 
+    import uuid
+
     g = build_packed_graph(nodes_df.toPandas(), edges_df.toPandas())
     bc = spark.sparkContext.broadcast(g.to_broadcastable())
+    bc_key = uuid.uuid4().hex
 
     schema = DISCRETIZED_SCHEMA if output == "discretized" else INTERPOLATED_SCHEMA
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _solve_pdf(pdf, hydrate(bc), opts, output)
+        return _solve_pdf(pdf, hydrate(bc, bc_key), opts, output)
 
     return points_df.groupBy("trip_id").applyInPandas(run, schema=schema)
