@@ -1,0 +1,137 @@
+"""Tiling pipelines over the image corpus — all Arrow-batched.
+
+  - ``with_tile_columns``: JVM-side slippy (z, x, y) + hilbert sort key
+  - ``raster_pyramid``: decode image bytes → cut the z/x/y pyramid
+    (``mapInPandas``; T7, north rule) — each image's pixels are halved per
+    zoom step below its base zoom and keyed by the GPS point's tile at that
+    zoom, joining rasters back to the vector tile/cell grid
+  - ``mvt_point_tiles``: per-(z,x,y) MVT point layers
+    (``groupBy.applyInPandas``; T4/S9)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from routers_spark.functions import sqlgen
+from routers_spark.functions.cells import (
+    hilbert_xy2h_np,
+    slippy_offsets_np,
+    slippy_xy_np,
+)
+from routers_spark.functions.raster import decode_image, png_encode, pyramid
+
+
+def with_tile_columns(df: DataFrame, zoom: int, lon: str = "lon",
+                      lat: str = "lat") -> DataFrame:
+    """tile_x/tile_y/hilbert at ``zoom`` as JVM-side column expressions
+    (T1/T3). The hilbert key is the cluster/sort column enabling
+    range-pruned tile scans (S8)."""
+    S = sqlgen.SPARK
+    x_sql, y_sql = sqlgen.slippy_xy_expr(S, lon, lat, zoom)
+    df = df.withColumn("tile_x", F.expr(x_sql)).withColumn("tile_y", F.expr(y_sql))
+    # hilbert unrolled as Column ops, BOUND per level via withColumn —
+    # building one nested expression doubles the tree per level and blows the
+    # analyzer (same lesson as sqlgen.Program's CTE chain).
+    df = (
+        df.withColumn("_hx", F.col("tile_x"))
+        .withColumn("_hy", F.col("tile_y"))
+        .withColumn("_hd", F.lit(0).cast("long"))
+    )
+    s = 1 << (zoom - 1)
+    while s > 0:
+        rx = (F.col("_hx").bitwiseAND(F.lit(s)) > 0).cast("long")
+        ry = (F.col("_hy").bitwiseAND(F.lit(s)) > 0).cast("long")
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = F.when(flip, F.lit(s - 1) - F.col("_hx")).otherwise(F.col("_hx"))
+        y_f = F.when(flip, F.lit(s - 1) - F.col("_hy")).otherwise(F.col("_hy"))
+        df = df.withColumns({
+            "_hd": F.col("_hd") + F.lit(s) * F.lit(s) * (rx * 3).bitwiseXOR(ry),
+            "_hx": F.when(swap, y_f).otherwise(x_f),
+            "_hy": F.when(swap, x_f).otherwise(y_f),
+        })
+        s >>= 1
+    return (
+        df.withColumnRenamed("_hd", "hilbert")
+        .drop("_hx", "_hy")
+        .withColumn("z", F.lit(zoom).cast("int"))
+    )
+
+
+RASTER_SCHEMA = (
+    "image_id string, z int, x long, y long, level int, tile_w int, "
+    "tile_h int, tile_png binary"
+)
+
+
+def raster_pyramid(images_df: DataFrame, base_zoom: int = 19,
+                   levels: int = 3) -> DataFrame:
+    """T7: decode each image, cut ``levels`` box-filtered halvings, key each
+    level by the image's GPS tile at (base_zoom - level). Output tiles are
+    re-encoded PNG (lossless, deterministic) regardless of input format.
+
+    Scale shape: one narrow ``mapInPandas`` pass — no shuffle; the pyramid
+    fan-out is bounded (levels+1 rows per image) and the downstream join to
+    vector cells is an equi-join on (z, x, y).
+    """
+    cols = ["image_id", "bytes", "fmt", "lon", "lat"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "z", "x", "y", "level",
+                                   "tile_w", "tile_h", "tile_png")}
+            for _, r in pdf.iterrows():
+                try:
+                    arr = decode_image(bytes(r["bytes"]), r["fmt"])
+                except NotImplementedError:
+                    continue
+                for lvl, img in enumerate(pyramid(arr, levels)):
+                    z = base_zoom - lvl
+                    tx, ty = slippy_xy_np([r["lon"]], [r["lat"]], z)
+                    out["image_id"].append(r["image_id"])
+                    out["z"].append(z)
+                    out["x"].append(int(tx[0]))
+                    out["y"].append(int(ty[0]))
+                    out["level"].append(lvl)
+                    out["tile_w"].append(img.shape[1])
+                    out["tile_h"].append(img.shape[0])
+                    out["tile_png"].append(png_encode(img))
+            yield pd.DataFrame(out)
+
+    return images_df.select(*cols).mapInPandas(gen, schema=RASTER_SCHEMA)
+
+
+MVT_SCHEMA = "z int, x long, y long, n_points long, mvt binary"
+
+
+def mvt_point_tiles(points_df: DataFrame, zoom: int, layer_name: str = "points",
+                    id_col: str = "image_id") -> DataFrame:
+    """T4/S9: group points into slippy tiles at ``zoom`` and emit one MVT
+    layer blob per tile. Feature ids are geohash-packed u64s
+    (cluster.rs:79-103); feature order inside a tile is the stable
+    (hilbert-of-offset, id) sort, making blobs deterministic."""
+    from routers_spark.functions.cells import geohash_int_np
+    from routers_spark.tiling.mvt import encode_point_layer
+
+    with_tiles = with_tile_columns(points_df, zoom)
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, x, y = key
+        pdf = pdf.sort_values(id_col, kind="stable")
+        px, py = slippy_offsets_np(pdf["lon"].values, pdf["lat"].values, zoom)
+        ids = np.uint64(geohash_int_np(pdf["lon"].values, pdf["lat"].values, 12))
+        blob = encode_point_layer(layer_name, ids, px, py)
+        return pd.DataFrame({
+            "z": [z], "x": [x], "y": [y],
+            "n_points": [len(pdf)], "mvt": [blob],
+        })
+
+    return with_tiles.groupBy("z", "tile_x", "tile_y").applyInPandas(
+        build, schema=MVT_SCHEMA
+    )
