@@ -1,0 +1,155 @@
+"""Training-data pipeline operators: minhash/simhash determinism + dedup
+recall, LSH-vs-brute ANN recall, text analysis features."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from routers_spark.pipeline.dedup import (
+    hamming64,
+    jaccard,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+from routers_spark.pipeline.similarity import (
+    deterministic_planes,
+    sign_bucket,
+)
+
+DOC = "the quick brown fox jumps over the lazy dog near the river bank"
+NEAR = "the quick brown fox jumps over the lazy dog near the river banks"
+FAR = "completely unrelated text about astrophysics and neutron stars"
+
+
+def test_shingle_hashes_deterministic():
+    a = shingle_hashes(DOC)
+    b = shingle_hashes(DOC)
+    assert np.array_equal(a, b)
+    assert len(a) == len(DOC) - 4
+
+
+def test_jaccard_behaviour():
+    assert jaccard(shingle_hashes(DOC), shingle_hashes(DOC)) == 1.0
+    near = jaccard(shingle_hashes(DOC), shingle_hashes(NEAR))
+    far = jaccard(shingle_hashes(DOC), shingle_hashes(FAR))
+    assert near > 0.8 > far
+
+
+def test_minhash_estimates_jaccard():
+    n = 64
+    sig_a = minhash_signature(DOC, n)
+    sig_b = minhash_signature(NEAR, n)
+    sig_c = minhash_signature(FAR, n)
+    est_near = np.mean(sig_a == sig_b)
+    est_far = np.mean(sig_a == sig_c)
+    true_near = jaccard(shingle_hashes(DOC), shingle_hashes(NEAR))
+    assert abs(est_near - true_near) < 0.2
+    assert est_far < 0.2
+
+
+def test_simhash_near_vs_far():
+    h_doc = simhash64(DOC)
+    assert h_doc == simhash64(DOC)
+    assert hamming64(h_doc, simhash64(NEAR)) < hamming64(h_doc, simhash64(FAR))
+    assert hamming64(h_doc, simhash64(NEAR)) <= 12
+
+
+def test_sign_bucket_deterministic_and_localized():
+    planes = deterministic_planes(16, 8, seed=3)
+    assert np.array_equal(planes, deterministic_planes(16, 8, seed=3))
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(1, 16))
+    v_near = v + rng.normal(scale=1e-4, size=(1, 16))
+    assert sign_bucket(v, planes)[0] == sign_bucket(v_near, planes)[0]
+
+
+# --------------------------------------------------------------- spark side
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a completely different document about spark query planning internals",
+        "numerical weather prediction uses finite difference solvers on grids",
+    ]
+    rows = []
+    did = 0
+    for b in base:
+        rows.append((did, b)); did += 1
+        rows.append((did, b + " extra"), ); did += 1  # near-dup
+    rows.append((did, "short")); did += 1
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_minhash_dedup_spark(spark, docs):
+    from routers_spark.pipeline.dedup import minhash_dedup
+
+    out = minhash_dedup(docs, n_hashes=16, bands=4, threshold=0.6).toPandas()
+    canon = dict(zip(out.doc_id, out.canonical_id))
+    # each near-dup pair collapses to the lower id
+    assert canon[1] == 0
+    assert canon[3] == 2
+    assert canon[5] == 4
+    # distinct docs keep themselves
+    assert canon[0] == 0 and canon[2] == 2 and canon[4] == 4 and canon[6] == 6
+
+
+def test_brute_vs_lsh_ann_recall(spark):
+    from routers_spark.pipeline.similarity import brute_topk_cosine, lsh_topk_cosine
+
+    rng = np.random.default_rng(1)
+    dim, n_clusters, per = 32, 50, 8
+    centers = rng.normal(size=(n_clusters, dim))
+    corpus = np.repeat(centers, per, axis=0) + rng.normal(
+        scale=0.05, size=(n_clusters * per, dim)
+    )
+    n = len(corpus)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in corpus],
+    })
+    df = spark.createDataFrame(pdf)
+    q = corpus[::per][:5] + rng.normal(scale=0.01, size=(5, dim))
+    q_ids = np.arange(5)
+    brute = brute_topk_cosine(df, q, q_ids, k=5).toPandas()
+    # exactness: the perturbed query's nearest neighbour is its source vector
+    top1 = brute[brute["rank"] == 1].set_index("query_id")["vec_id"]
+    assert all(top1[i] == i * per for i in range(5))
+
+    ann = lsh_topk_cosine(df, q, q_ids, k=5, n_planes=6, n_tables=6).toPandas()
+    # recall floor vs brute
+    recall = 0.0
+    for i in range(5):
+        b = set(brute[brute.query_id == i]["vec_id"])
+        a = set(ann[ann.query_id == i]["vec_id"])
+        recall += len(a & b) / len(b)
+    assert recall / 5 >= 0.6
+
+
+def test_text_analysis_spark(spark, docs):
+    from routers_spark.pipeline.text import (
+        with_fingerprints,
+        with_lang_id,
+        with_quality,
+        with_token_counts,
+    )
+
+    out = with_lang_id(docs).toPandas()
+    assert out.loc[out.doc_id == 0, "lang_guess"].iloc[0] == "en"
+
+    q = with_quality(docs).toPandas()
+    assert (q["n_tokens"] > 0).all()
+    assert ((q["alpha_ratio"] >= 0) & (q["alpha_ratio"] <= 1)).all()
+
+    tc = with_token_counts(docs).toPandas()
+    row0 = tc[tc.doc_id == 0].iloc[0]
+    assert row0["bpe_tokens"] >= row0["ws_tokens"]
+
+    fp = with_fingerprints(docs).toPandas()
+    assert len(fp) > 0
+    # identical prefix docs share fingerprints (shift-resistant signatures)
+    f0 = set(fp[fp.doc_id == 0]["fingerprint"])
+    f1 = set(fp[fp.doc_id == 1]["fingerprint"])
+    assert len(f0 & f1) > 0
