@@ -47,13 +47,19 @@ def partition_of_np(vehicle_id) -> np.ndarray:
     return (mix_np(v) % np.uint64(N_PARTITIONS)).astype(np.int64)
 
 
-def splitmix64_sql(x: str, dialect: str) -> str:
-    """splitmix64 as SQL over signed BIGINT two's-complement arithmetic.
+def to_i64(c: int) -> int:
+    """Unsigned-64 constant as its signed two's-complement literal."""
+    return c - (1 << 64) if c >= (1 << 63) else c
 
-    Multiplication overflow: Spark BIGINT ``*`` wraps silently;
-    DuckDB raises — so for DuckDB we decompose the 64x64 product into
-    32-bit limbs that never overflow. XOR/shift need an unsigned right
-    shift emulated from the arithmetic one.
+
+def sql_ops(dialect: str):
+    """Dialect-portable unsigned-64 primitives over signed BIGINT:
+    (xor, ushr, wrapping-mul-by-constant).
+
+    Spark BIGINT ``*`` wraps silently (ANSI off); DuckDB raises — so for
+    DuckDB the 64x64 product is decomposed via 128-bit HUGEINT with the
+    constant split in 32-bit limbs (no intermediate exceeds 2^97):
+    ``u*c mod 2^64 = (u*c_lo + (u mod 2^32)*c_hi*2^32) mod 2^64``.
     """
 
     def ushr(a: str, n: int) -> str:
@@ -66,15 +72,9 @@ def splitmix64_sql(x: str, dialect: str) -> str:
     def xor(a: str, b: str) -> str:
         return f"({a} ^ {b})" if dialect == "spark" else f"xor({a}, {b})"
 
-    def _to_i64(c: int) -> int:
-        return c - (1 << 64) if c >= (1 << 63) else c
-
     def mul(a: str, c: int) -> str:
         if dialect == "spark":
-            return f"({a} * {_to_i64(c)})"
-        # DuckDB: wrapping 64-bit multiply via 128-bit HUGEINT, with the
-        # constant split in 32-bit limbs so no intermediate exceeds 2^97:
-        #   u*c mod 2^64 = (u*c_lo + (u mod 2^32)*c_hi*2^32) mod 2^64
+            return f"({a} * {to_i64(c)})"
         c_lo, c_hi = c & 0xFFFFFFFF, (c >> 32) & 0xFFFFFFFF
         u = (
             f"(CAST({a} AS HUGEINT) + CASE WHEN ({a}) < 0"
@@ -89,6 +89,13 @@ def splitmix64_sql(x: str, dialect: str) -> str:
             f" THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
         )
 
+    return xor, ushr, mul
+
+
+def splitmix64_sql(x: str, dialect: str) -> str:
+    """splitmix64 as one nested SQL expression (small inputs only — for
+    long chains use :func:`p_splitmix64`)."""
+    xor, ushr, mul = sql_ops(dialect)
     e = f"({x})"
     e = xor(e, ushr(e, 30))
     e = mul(e, 0xBF58476D1CE4E5B9)
@@ -96,6 +103,29 @@ def splitmix64_sql(x: str, dialect: str) -> str:
     e = mul(e, 0x94D049BB133111EB)
     e = xor(e, ushr(e, 31))
     return e
+
+
+def p_splitmix64(p, x_col: str, dialect: str) -> str:
+    """splitmix64 as bound program steps (linear SQL text; see
+    sqlgen.Program)."""
+    xor, ushr, mul = sql_ops(dialect)
+    e = p.let(xor(x_col, ushr(x_col, 30)))
+    e = p.let(mul(e, 0xBF58476D1CE4E5B9))
+    e = p.let(xor(e, ushr(e, 27)))
+    e = p.let(mul(e, 0x94D049BB133111EB))
+    return p.let(xor(e, ushr(e, 31)))
+
+
+def p_fnv1a_chars(p, text_col: str, start_col: str, k: int, dialect: str) -> str:
+    """FNV-1a-64 over the ``k`` codepoints of ``text_col`` starting at
+    1-based position ``start_col`` — bound program steps. Matches
+    pipeline.dedup.shingle_hashes (codepoint variant)."""
+    xor, _, mul = sql_ops(dialect)
+    h = str(to_i64(0xCBF29CE484222325))
+    for j in range(k):
+        cp = p.let(f"ascii(substr({text_col}, {start_col} + {j}, 1))")
+        h = p.let(mul(f"({xor(h, cp)})", 0x00000100000001B3))
+    return h
 
 
 def partition_of_sql(x: str, dialect: str) -> str:

@@ -85,17 +85,24 @@ class Program:
         self.steps.append(bound)
         return names
 
-    def render(self, final_cols: list[str]) -> str:
+    def render(self, final_cols: list[str], group_by: list[str] | None = None,
+               distinct: bool = False, cte_name: str | None = None) -> str:
         """``final_cols`` are ``expr AS alias`` fragments over keep+bound
-        columns."""
-        lines = [f"WITH p0 AS (SELECT * FROM ({self.source_sql}))"]
-        prev = "p0"
+        columns. ``cte_name`` renders the chain as a reusable ``name AS
+        (...)`` fragment body instead of a standalone statement."""
+        prefix = "p" if cte_name is None else f"{cte_name}_p"
+        lines = [f"WITH {prefix}0 AS (SELECT * FROM ({self.source_sql}))"]
+        prev = f"{prefix}0"
         for i, level in enumerate(self.steps, start=1):
-            cur = f"p{i}"
+            cur = f"{prefix}{i}"
             cols = ", ".join(f"{expr} AS {name}" for name, expr in level)
             lines.append(f", {cur} AS (SELECT *, {cols} FROM {prev})")
             prev = cur
-        lines.append(f"SELECT {', '.join(final_cols)} FROM {prev}")
+        sel = "SELECT DISTINCT" if distinct else "SELECT"
+        tail = f"{sel} {', '.join(final_cols)} FROM {prev}"
+        if group_by:
+            tail += f" GROUP BY {', '.join(group_by)}"
+        lines.append(tail)
         return "\n".join(lines)
 
 

@@ -21,7 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from routers_spark.functions import sqlgen
+from routers_spark.functions import hashing, sqlgen
 from routers_spark.functions.geo import bearing_deg_sql, haversine_m_sql
 from routers_spark.functions.hashing import partition_of_sql
 
@@ -381,6 +381,335 @@ WHERE length(text) > 0
 """
 
 
+# -------------------------------------------------- training-data pipeline
+
+
+def _shingle_source(dialect: str, k: int = 5) -> str:
+    """Per-shingle rows (doc_id, i) over documents with len >= k — the
+    lateral-explode differs per dialect."""
+    if dialect == "duckdb":
+        # correlated generate_series is unsupported; unnest(range(...)) is
+        # the scalar-list equivalent (range end is exclusive)
+        return (
+            f"SELECT doc_id, text, "
+            f"CAST(unnest(range(1, length(text) - {k - 2})) AS INT) AS i "
+            f"FROM (SELECT doc_id, text FROM documents WHERE length(text) >= {k}) d"
+        )
+    return (
+        f"SELECT doc_id, text, CAST(i AS INT) AS i "
+        f"FROM (SELECT doc_id, text FROM documents WHERE length(text) >= {k}) d "
+        f"LATERAL VIEW explode(sequence(1, length(text) - {k - 1})) g AS i"
+    )
+
+
+_I64_MSB = -9223372036854775808  # sign-flip constant: signed MIN == u64 MIN
+
+
+@sql_query("minhash_signature")
+def _q_minhash(dialect: str) -> str:
+    """MinHash signatures (8 hashes) over 5-codepoint shingles — the exact
+    contract of pipeline.dedup.minhash_signature (FNV-1a codepoints +
+    splitmix64 family). Unsigned MIN emulated via sign-flip XOR."""
+    from routers_spark.functions.hashing import p_fnv1a_chars, sql_ops, to_i64
+    from routers_spark.pipeline.dedup import DEFAULT_N_HASHES, seed_of
+
+    xor, _, _ = sql_ops(dialect)
+    p = sqlgen.Program(_shingle_source(dialect), ["doc_id"])
+    h = p_fnv1a_chars(p, "text", "i", 5, dialect)
+    finals = ["CAST(doc_id AS BIGINT) AS doc_id"]
+    for s in range(DEFAULT_N_HASHES):
+        seed = to_i64(int(seed_of(s)))
+        x = p.let(xor(h, str(seed)))
+        m = hashing.p_splitmix64(p, x, dialect)
+        flipped = p.let(xor(m, str(_I64_MSB)))
+        finals.append(
+            f"CAST({xor(f'MIN({flipped})', str(_I64_MSB))} AS BIGINT) AS mh{s}"
+        )
+    return p.render(finals, group_by=["doc_id"])
+
+
+@sql_query("simhash64")
+def _q_simhash(dialect: str) -> str:
+    """SimHash-64 per document: per-bit majority vote over splitmix-mixed
+    shingle hashes — contract of pipeline.dedup.simhash64."""
+    from routers_spark.functions.hashing import p_fnv1a_chars
+
+    p = sqlgen.Program(_shingle_source(dialect), ["doc_id"])
+    h = p_fnv1a_chars(p, "text", "i", 5, dialect)
+    m = hashing.p_splitmix64(p, h, dialect)
+    terms = []
+    for j in range(63):
+        bit = 1 << j
+        terms.append(
+            f"(CASE WHEN SUM(CASE WHEN ({m} & {bit}) != 0 THEN 1 ELSE 0 END) * 2"
+            f" > COUNT(*) THEN CAST({bit} AS BIGINT) ELSE 0 END)"
+        )
+    sign = (
+        f"(CASE WHEN SUM(CASE WHEN ({m} & {_I64_MSB}) != 0 THEN 1 ELSE 0 END) * 2"
+        f" > COUNT(*) THEN CAST({_I64_MSB} AS BIGINT) ELSE 0 END)"
+    )
+    packed = " + ".join(terms + [sign])
+    return p.render(
+        ["CAST(doc_id AS BIGINT) AS doc_id", f"CAST({packed} AS BIGINT) AS simhash"],
+        group_by=["doc_id"],
+    )
+
+
+@sql_query("ngram_jaccard_pairs")
+def _q_jaccard(dialect: str) -> str:
+    """Exact n-gram (5-codepoint shingle) Jaccard over all candidate pairs
+    sharing any shingle, thresholded — the dedup verify stage as a pure
+    shingle-set self-join (no float-order hazards: set sizes are integers)."""
+    from routers_spark.functions.hashing import p_fnv1a_chars
+
+    p = sqlgen.Program(_shingle_source(dialect), ["doc_id"])
+    h = p_fnv1a_chars(p, "text", "i", 5, dialect)
+    sh = p.render([f"doc_id AS doc_id, {h} AS h"], distinct=True)
+    return f"""
+WITH sh AS ({sh}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(i.doc_a AS BIGINT) AS doc_a,
+       CAST(i.doc_b AS BIGINT) AS doc_b,
+       CAST(i.c AS BIGINT) AS n_shared,
+       round(CAST(i.c AS DOUBLE) / CAST(sa.n + sb.n - i.c AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.c AS DOUBLE) / CAST(sa.n + sb.n - i.c AS DOUBLE) >= 0.5
+"""
+
+
+@sql_query("embedding_topk_cosine")
+def _q_embed_topk(dialect: str) -> str:
+    """Brute-force cosine top-5 of every vector against the 8 query vectors
+    (vec_id < 8). Dot/norms computed in SCALED INTEGERS (round(val*1e6)) so
+    sums are exact and order-independent across engines."""
+    if dialect == "duckdb":
+        flat = (
+            "SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS pos, "
+            "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS v "
+            "FROM embeddings"
+        )
+    else:
+        flat = (
+            "SELECT vec_id, CAST(pos AS INT) AS pos, "
+            "CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS v "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v"
+        )
+    return f"""
+WITH flat AS ({flat}),
+q AS (SELECT * FROM flat WHERE vec_id < 8),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, SUM(q.v * c.v) AS dot
+  FROM q JOIN flat c ON q.pos = c.pos
+  GROUP BY q.vec_id, c.vec_id
+),
+norms AS (SELECT vec_id, SUM(v * v) AS nrm FROM flat GROUP BY vec_id),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.vec_id
+  WHERE d.vec_id != d.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       round(cosine, 6) AS cosine,
+       CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@sql_query("doc_fingerprint_md5")
+def _q_fingerprint(dialect: str) -> str:
+    """Content-addressed document fingerprint (md5 hex — both engines ship
+    it) + length; the exact-dedup key at corpus scale."""
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(text) AS fingerprint,
+       CAST(length(text) AS BIGINT) AS n_chars_fp
+FROM documents
+"""
+
+
+@sql_query("lang_id_stopwords")
+def _q_lang(dialect: str) -> str:
+    """Language-ID heuristic: per-language stopword mass via regex replace
+    (char-count delta — RE2-compatible, no lookahead), argmax with
+    alphabetical tie-break. The engine's token-based twin is
+    pipeline.text.with_lang_id; this is its SQL-expressible scoring."""
+    from routers_spark.pipeline.text import STOPWORDS
+
+    # one whitespace-class literal per dialect: Spark's parser unescapes
+    # string literals (needs \\s in SQL text), DuckDB does not (needs \s)
+    ws = "\\\\s" if dialect == "spark" else "\\s"
+
+    def hits(words: list[str]) -> str:
+        pat = "|".join(words)
+        full = f"(^|{ws})({pat})({ws}|$)"
+        if dialect == "duckdb":
+            return (
+                f"(length(lower(text)) - length(regexp_replace(lower(text),"
+                f" '{full}', '', 'g')))"
+            )
+        return (
+            f"(length(lower(text)) - length(regexp_replace(lower(text),"
+            f" '{full}', '')))"
+        )
+
+    cols = {lang: hits(ws) for lang, ws in sorted(STOPWORDS.items())}
+    hit_cols = ", ".join(f"{e} AS hits_{lang}" for lang, e in cols.items())
+    langs = sorted(STOPWORDS)
+    best = f"'{langs[0]}'"
+    best_hits = f"hits_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"CASE WHEN hits_{lang} > {best_hits} THEN '{lang}' ELSE {best} END"
+        best_hits = (
+            f"CASE WHEN hits_{lang} > {best_hits} THEN hits_{lang}"
+            f" ELSE {best_hits} END"
+        )
+    return f"""
+WITH h AS (SELECT doc_id, {hit_cols} FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN {best_hits} > 0 THEN {best} ELSE 'unknown' END AS lang_guess
+FROM h
+"""
+
+
+# ------------------------------------- non-SQL-expressible operators
+# (driver records a rows-only check; correctness is evidenced by the pytest
+# suite's brute-force/golden oracles instead — SURVEY.md §5)
+
+_NOSQL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def nosql_query(name: str):
+    def deco(fn):
+        _NOSQL_QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+def _sf_scale(spark: SparkSession, sf_dir: str) -> int:
+    """Deterministic size driver tied to the scale factor (events rows)."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def _fixture_match_inputs(spark: SparkSession, sf_dir: str):
+    from routers_spark.fixtures.roads import grid_network, walk_trips
+
+    n_events = _sf_scale(spark, sf_dir)
+    n_trips = max(10, n_events // 100)
+    nodes, edges = grid_network(30)
+    trips = walk_trips(nodes, edges, n_trips=n_trips, points_per_trip=10,
+                       seed=42)
+    return (
+        spark.createDataFrame(trips),
+        spark.createDataFrame(nodes),
+        spark.createDataFrame(edges),
+    )
+
+
+@nosql_query("map_match_discretized")
+def _q_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M18: HMM/Viterbi map matching over the deterministic grid fixture
+    (one matched edge per GPS point). Oracle: pytest brute-force solver
+    parity (tests/test_trellis.py, tests/test_matching.py)."""
+    from routers_spark.matching.matcher import match_trips
+
+    points, nodes, edges = _fixture_match_inputs(spark, sf_dir)
+    return match_trips(points, nodes, edges)
+
+
+@nosql_query("map_match_interpolated")
+def _q_match_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16 RoutedPath: full driven geometry incl. bridge edges."""
+    from routers_spark.matching.matcher import match_trips
+
+    points, nodes, edges = _fixture_match_inputs(spark, sf_dir)
+    return match_trips(points, nodes, edges, output="interpolated")
+
+
+@nosql_query("raster_pyramid_tiles")
+def _q_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 raster pyramid from decoded image bytes (PSNR-gated in pytest)."""
+    from pyspark.sql import functions as F
+
+    from routers_spark.fixtures.images import generate_images
+    from routers_spark.tiling.pipeline import raster_pyramid
+
+    n = min(200, max(50, _sf_scale(spark, sf_dir) // 50))
+    images = spark.createDataFrame(generate_images(n, seed=42))
+    out = raster_pyramid(images, base_zoom=19, levels=2)
+    return out.select(
+        "image_id", "z", "x", "y", "level", "tile_w", "tile_h",
+        F.md5("tile_png").alias("tile_md5"),
+    )
+
+
+@nosql_query("mvt_point_tiles")
+def _q_mvt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/S9 MVT point-layer tiles (wire format round-trip tested)."""
+    from pyspark.sql import functions as F
+
+    from routers_spark.fixtures.images import generate_images
+    from routers_spark.tiling.pipeline import mvt_point_tiles
+
+    n = min(500, max(100, _sf_scale(spark, sf_dir) // 20))
+    images = spark.createDataFrame(generate_images(n, seed=42))
+    out = mvt_point_tiles(images.select("image_id", "lon", "lat"), zoom=14)
+    return out.select("z", "x", "y", "n_points", F.md5("mvt").alias("mvt_md5"))
+
+
+@nosql_query("dbscan_clusters")
+def _q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 cell-partitioned haversine DBSCAN over the image GPS points."""
+    from routers_spark.fixtures.images import generate_images
+    from routers_spark.tiling.cluster import cluster_points
+
+    n = min(2000, max(200, _sf_scale(spark, sf_dir) // 5))
+    images = spark.createDataFrame(generate_images(n, seed=42))
+    return cluster_points(images.select("lon", "lat"), eps_m=60.0)
+
+
+@nosql_query("minhash_dedup_pipeline")
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline over the documents table
+    (signatures → band join → exact-Jaccard verify → canonical ids)."""
+    from routers_spark.pipeline.dedup import minhash_dedup
+
+    register_views(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup(docs, n_hashes=8, bands=2, threshold=0.5)
+
+
+@nosql_query("ann_lsh_topk")
+def _q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k cosine (recall vs brute asserted in
+    pytest)."""
+    import numpy as np
+
+    from routers_spark.pipeline.similarity import lsh_topk_cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    head = emb.orderBy("vec_id").limit(8).toPandas()
+    q = np.stack(head["embedding"].values).astype(np.float64)
+    return lsh_topk_cosine(emb, q, head["vec_id"].values, k=5)
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -399,7 +728,9 @@ def spark_fn(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spark_fn(name) for name in _SQL_QUERIES}
+    out = {name: spark_fn(name) for name in _SQL_QUERIES}
+    out.update(_NOSQL_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
