@@ -1,0 +1,105 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Execution is measured end-to-end with the noop sink (full plan runs, nothing
+is collected to the driver). The north-star throughput (matched-edge +
+tile-assignment rows/sec) is reported alongside; scaling-efficiency evidence
+lives in tools/bench_scaling.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_SQL = [
+    "tile_assign_slippy",
+    "tile_hilbert_key",
+    "cell_encode_geohash",
+    "cell_encode_quadkey",
+    "tile_pyramid_rollup",
+    "spatial_cell_join",
+    "knn_nearest_station",
+    "zone_assign_pip",
+    "gap_sessionize",
+    "partition_assign",
+    "minhash_signature",
+    "simhash64",
+    "embedding_topk_cosine",
+]
+HEADLINE_ENGINE = [
+    "map_match_discretized",
+    "raster_pyramid_tiles",
+    "mvt_point_tiles",
+    "dbscan_clusters",
+]
+
+
+def run_full(df) -> tuple[float, int]:
+    """Time a FULL materialization of every column via the noop sink —
+    ``count()`` alone would let Catalyst prune the computed projections and
+    time only the scan. Row count read afterwards from the persisted plan
+    (cheap)."""
+    df = df.persist()
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    n = df.count()
+    df.unpersist()
+    return dt, n
+
+
+def main() -> None:
+    from routers_spark import queries as Q
+    from routers_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(f"local[{cpus}]", app_name="routers_spark_bench",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = Q.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    # warm the JVM + parquet footers once
+    Q.register_views(spark, sf_dir)
+    spark.sql("SELECT COUNT(*) FROM events").collect()
+
+    for name in HEADLINE_SQL + HEADLINE_ENGINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        build = time.perf_counter() - t0
+        dt, n = run_full(df)
+        timings[name] = round(build + dt, 3)
+        rows[name] = n
+
+    total = round(sum(timings.values()), 3)
+    north_rows = rows["map_match_discretized"] + rows["tile_assign_slippy"]
+    north_sec = timings["map_match_discretized"] + timings["tile_assign_slippy"]
+    out = {
+        "metric": "matched-edge + tile-assignment rows/sec (headline suite wall time)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "rows": rows,
+        "north_star_rows_per_sec": round(north_rows / max(north_sec, 1e-9), 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,7 @@ import pandas as pd
 from routers_spark.config import (
     DEFAULT_EMISSION_ERROR_M,
     DEFAULT_SEARCH_DISTANCE_M,
+    MAX_WEIGHT,
     NO_EDGE,
     SELECTIVE_FANOUT,
 )
@@ -119,7 +120,11 @@ def reach(graph, cache, src: dict, tgt: dict) -> tuple[str, list[int]] | None:
 
 def transition_cost(graph, cache, src: dict, tgt: dict) -> tuple[int, tuple] | None:
     """M4: u32 transition cost for a candidate pair, or None (→ NO_EDGE).
-    Also returns the (resolution, path_rows) for collapse reuse."""
+    Also returns the (resolution, path_rows) for collapse reuse.
+
+    Scalar-math hot path: per-pair work on single values uses libm directly
+    (costing.haversine_s etc.) — numpy's length-1 ufunc overhead dominated
+    the boundary weigh otherwise."""
     r = reach(graph, cache, src, tgt)
     if r is None:
         return None
@@ -129,53 +134,52 @@ def transition_cost(graph, cache, src: dict, tgt: dict) -> tuple[int, tuple] | N
     if path_rows:
         node_idx = [int(graph.edge_src[e]) for e in path_rows]
         node_idx.append(int(graph.edge_dst[path_rows[-1]]))
-        mp_lon = graph.node_lon[node_idx]
-        mp_lat = graph.node_lat[node_idx]
-        mp_len = float(np.sum(haversine_m_np(mp_lon[:-1], mp_lat[:-1],
-                                             mp_lon[1:], mp_lat[1:])))
-    else:
-        mp_lon = np.empty(0)
-        mp_lat = np.empty(0)
+        mp_lon = [float(graph.node_lon[i]) for i in node_idx]
+        mp_lat = [float(graph.node_lat[i]) for i in node_idx]
         mp_len = 0.0
+        for i in range(len(mp_lon) - 1):
+            mp_len += costing.haversine_s(mp_lon[i], mp_lat[i],
+                                          mp_lon[i + 1], mp_lat[i + 1])
+    else:
+        mp_lon = []
+        mp_lat = []
+        mp_len = 0.0
+
+    straight = costing.haversine_s(src["px"], src["py"], tgt["px"], tgt["py"])
 
     # offsets (transition.rs:205-238)
     if resolution == "direct":
-        offset = float(haversine_m_np([src["px"]], [src["py"]],
-                                      [tgt["px"]], [tgt["py"]])[0])
+        offset = straight
     else:
-        tail_src = float(haversine_m_np(
-            [src["px"]], [src["py"]],
-            [graph.bx[src["edge_row"]]], [graph.by[src["edge_row"]]])[0])
-        tail_tgt = float(haversine_m_np(
-            [graph.ax[tgt["edge_row"]]], [graph.ay[tgt["edge_row"]]],
-            [tgt["px"]], [tgt["py"]])[0])
-        offset = tail_src + tail_tgt
+        e_s, e_t = src["edge_row"], tgt["edge_row"]
+        offset = costing.haversine_s(
+            src["px"], src["py"], float(graph.bx[e_s]), float(graph.by[e_s])
+        ) + costing.haversine_s(
+            float(graph.ax[e_t]), float(graph.ay[e_t]), tgt["px"], tgt["py"]
+        )
 
     route_length = mp_len + offset
-    straight = float(haversine_m_np([src["px"]], [src["py"]],
-                                    [tgt["px"]], [tgt["py"]])[0])
 
     # angular complexity with explicit endpoint headings
     # (transition.rs:148-156 + map_path/entity.rs:260-283)
-    pos_lon = np.concatenate([[src["px"]], mp_lon, [tgt["px"]]])
-    pos_lat = np.concatenate([[src["py"]], mp_lat, [tgt["py"]]])
-    mids = costing.headings_from_positions(pos_lon, pos_lat)
+    pos_lon = [src["px"], *mp_lon, tgt["px"]]
+    pos_lat = [src["py"], *mp_lat, tgt["py"]]
     heads = []
     h_src = _edge_heading(graph, src["edge_row"])
     h_tgt = _edge_heading(graph, tgt["edge_row"])
     if not np.isnan(h_src):
         heads.append(h_src)
-    heads.extend(mids.tolist())
+    heads.extend(costing.headings_scalar(pos_lon, pos_lat))
     if not np.isnan(h_tgt):
         heads.append(h_tgt)
-    angular = costing.complexity_from_headings(np.asarray(heads))
+    angular = costing.complexity_scalar(heads)
 
     value = costing.transition_value(
         straight, route_length, angular,
         int(graph.edge_weight[src["edge_row"]]),
         int(graph.edge_weight[tgt["edge_row"]]),
     )
-    return costing.transition_cost_u32(value), (resolution, path_rows)
+    return min(costing.decay_u32_scalar(value), MAX_WEIGHT), (resolution, path_rows)
 
 
 # ------------------------------------------------------------- trip solver

@@ -434,24 +434,38 @@ def _q_simhash(dialect: str) -> str:
     shingle hashes — contract of pipeline.dedup.simhash64."""
     from routers_spark.functions.hashing import p_fnv1a_chars
 
+    from routers_spark.functions.hashing import sql_ops
+
+    _, ushr, _ = sql_ops(dialect)
     p = sqlgen.Program(_shingle_source(dialect), ["doc_id"])
     h = p_fnv1a_chars(p, "text", "i", 5, dialect)
     m = hashing.p_splitmix64(p, h, dialect)
-    terms = []
-    for j in range(63):
-        bit = 1 << j
-        terms.append(
-            f"(CASE WHEN SUM(CASE WHEN ({m} & {bit}) != 0 THEN 1 ELSE 0 END) * 2"
-            f" > COUNT(*) THEN CAST({bit} AS BIGINT) ELSE 0 END)"
-        )
-    sign = (
-        f"(CASE WHEN SUM(CASE WHEN ({m} & {_I64_MSB}) != 0 THEN 1 ELSE 0 END) * 2"
-        f" > COUNT(*) THEN CAST({_I64_MSB} AS BIGINT) ELSE 0 END)"
-    )
-    packed = " + ".join(terms + [sign])
-    return p.render(
-        ["CAST(doc_id AS BIGINT) AS doc_id", f"CAST({packed} AS BIGINT) AS simhash"],
+    # pack 3 bit-counters per 64-bit SUM (20-bit lanes, docs < 1M shingles):
+    # 22 aggregates instead of 64 keeps the HashAggregate codegen-friendly.
+    agg_cols = []
+    for g in range(0, 64, 3):
+        lanes = [
+            f"(({ushr(m, j)} & 1) * {1 << (20 * k)})"
+            for k, j in enumerate(range(g, min(g + 3, 64)))
+        ]
+        agg_cols.append(f"SUM({' + '.join(lanes)}) AS s{g // 3}")
+    inner = p.render(
+        ["doc_id AS doc_id", "COUNT(*) AS n_sh"] + agg_cols,
         group_by=["doc_id"],
+    )
+    bit_terms = []
+    for j in range(64):
+        word, lane = j // 3, j % 3
+        cnt = f"(({ushr(f's{word}', 20 * lane)}) & 1048575)"
+        val = str(_I64_MSB) if j == 63 else str(1 << j)
+        bit_terms.append(
+            f"(CASE WHEN {cnt} * 2 > n_sh THEN CAST({val} AS BIGINT) ELSE 0 END)"
+        )
+    packed = " + ".join(bit_terms)
+    return (
+        f"WITH agg AS ({inner})\n"
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST({packed} AS BIGINT) AS simhash FROM agg"
     )
 
 

@@ -27,29 +27,53 @@ def dbscan_numpy(lons: np.ndarray, lats: np.ndarray, eps_m: float,
                  capacity: int = DEFAULT_CAPACITY) -> np.ndarray:
     """Label array (-1 = noise). Deterministic: seeds expand in index order,
     neighbours join in index order, expansion stops at ``capacity`` members
-    (cluster.rs:243-274 range_query/expand)."""
+    (cluster.rs:243-274 range_query/expand).
+
+    Neighbour sets are precomputed once: an equirectangular-prefiltered
+    haversine radius query in blocks (O(n^2) flops but fully vectorized;
+    cells bound n)."""
+    from collections import deque
+
     n = len(lons)
     labels = np.full(n, -1, dtype=np.int64)
+    if n == 0:
+        return labels
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    # prefilter box in degrees (generous: eps * 1.5 safety)
+    dlat = eps_m / 111_320.0 * 1.5
+    dlon = dlat / max(np.cos(np.radians(np.abs(lats).max())), 1e-6)
+    neighbours: list[np.ndarray] = []
+    block = 2048
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        box_mask = (
+            (np.abs(lons[None, :] - lons[s:e, None]) <= dlon)
+            & (np.abs(lats[None, :] - lats[s:e, None]) <= dlat)
+        )
+        for bi, i in enumerate(range(s, e)):
+            cand = np.flatnonzero(box_mask[bi])
+            d = haversine_m_np(lons[i], lats[i], lons[cand], lats[cand])
+            neighbours.append(cand[d <= eps_m])
     cluster = 0
     for i in range(n):
         if labels[i] != -1:
             continue
-        d = haversine_m_np(lons[i], lats[i], lons, lats)
-        nbrs = np.flatnonzero((d <= eps_m) & (labels == -1))
+        nbrs = neighbours[i]
+        nbrs = nbrs[labels[nbrs] == -1]
         if len(nbrs) < 2:  # the seed itself + at least one other
             continue
         members = [i]
         labels[i] = cluster
-        queue = [j for j in nbrs.tolist() if j != i]
+        queue = deque(j for j in nbrs.tolist() if j != i)
         while queue and len(members) < capacity:
-            j = queue.pop(0)
+            j = queue.popleft()
             if labels[j] != -1:
                 continue
             labels[j] = cluster
             members.append(j)
-            dj = haversine_m_np(lons[j], lats[j], lons, lats)
-            for k in np.flatnonzero((dj <= eps_m) & (labels == -1)).tolist():
-                queue.append(k)
+            nj = neighbours[j]
+            queue.extend(nj[labels[nj] == -1].tolist())
         if len(members) < MIN_CLUSTER:
             for m in members:
                 labels[m] = -1
