@@ -77,12 +77,15 @@ def main() -> None:
 
     for name in HEADLINE_SQL + HEADLINE_ENGINE:
         fn = qs[name]
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         build = time.perf_counter() - t0
         dt, n = run_full(df)
         timings[name] = round(build + dt, 3)
         rows[name] = n
+        print(f"[bench] {name}: {timings[name]}s {n} rows",
+              file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     north_rows = rows["map_match_discretized"] + rows["tile_assign_slippy"]

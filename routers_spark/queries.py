@@ -200,17 +200,26 @@ def _q_knn(dialect: str) -> str:
     """X3/X7 nearest-node snap: per event the nearest station by haversine,
     ties to the lowest id (graph.rs:358-362 min-by semantics)."""
     dist = haversine_m_sql(EVENT_LON, EVENT_LAT, SUPP_LON, SUPP_LAT)
+    # dist is bound to a column BEFORE the window so the sort key is a
+    # cheap column reference (inlining the trig into the window sort blew
+    # the 64 KB codegen method limit → interpreted eval). The REPARTITION
+    # hint spreads the single-row-group parquet scan across cores before
+    # the cross-join expansion (DuckDB reads it as a plain comment).
     return f"""
 WITH pairs AS (
-  SELECT e.event_id, s.s_suppkey, {dist} AS dist_m,
-         ROW_NUMBER() OVER (PARTITION BY e.event_id
-                            ORDER BY {dist}, s.s_suppkey) AS rn
+  SELECT /*+ REPARTITION(32) */ e.event_id, s.s_suppkey, {dist} AS dist_m
   FROM events e CROSS JOIN supplier s
+),
+ranked AS (
+  SELECT event_id, s_suppkey, dist_m,
+         ROW_NUMBER() OVER (PARTITION BY event_id
+                            ORDER BY dist_m, s_suppkey) AS rn
+  FROM pairs
 )
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(s_suppkey AS BIGINT) AS nearest_station,
        round(dist_m, 3) AS dist_m
-FROM pairs WHERE rn = 1
+FROM ranked WHERE rn = 1
 """
 
 
@@ -395,9 +404,12 @@ def _shingle_source(dialect: str, k: int = 5) -> str:
             f"CAST(unnest(range(1, length(text) - {k - 2})) AS INT) AS i "
             f"FROM (SELECT doc_id, text FROM documents WHERE length(text) >= {k}) d"
         )
+    # REPARTITION spreads the explode across cores (the small parquet scan
+    # is otherwise one task and the 20-step hash chain runs single-threaded)
     return (
         f"SELECT doc_id, text, CAST(i AS INT) AS i "
-        f"FROM (SELECT doc_id, text FROM documents WHERE length(text) >= {k}) d "
+        f"FROM (SELECT /*+ REPARTITION(32) */ doc_id, text FROM documents"
+        f" WHERE length(text) >= {k}) d "
         f"LATERAL VIEW explode(sequence(1, length(text) - {k - 1})) g AS i"
     )
 
