@@ -153,7 +153,10 @@ def walk_trips(nodes: pd.DataFrame, edges: pd.DataFrame, n_trips: int,
     Returns trips(trip_id, seq, lon, lat, ts_us).
     """
     rng = np.random.default_rng(seed)
-    node_pos = nodes.set_index("node_id")[["lon", "lat"]]
+    pos = {
+        int(n): (float(x), float(y))
+        for n, x, y in zip(nodes["node_id"], nodes["lon"], nodes["lat"])
+    }
     adj: dict[int, np.ndarray] = {
         int(k): v["dst"].values for k, v in edges.groupby("src")
     }
@@ -163,7 +166,7 @@ def walk_trips(nodes: pd.DataFrame, edges: pd.DataFrame, n_trips: int,
         cur = int(start_nodes[rng.integers(0, len(start_nodes))])
         prev = -1
         for s in range(points_per_trip):
-            lon, lat = node_pos.loc[cur]
+            lon, lat = pos[cur]
             rows.append((
                 f"trip{t:06d}", s,
                 lon + float(rng.uniform(-jitter_deg, jitter_deg)),

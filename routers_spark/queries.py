@@ -237,11 +237,18 @@ st AS (
          CAST(floor(({SUPP_LAT} + 90.0e0) / {cell}) AS BIGINT) AS cy
   FROM supplier
 ),
+nbr AS (
+  SELECT -1 AS dx, -1 AS dy UNION ALL SELECT -1, 0 UNION ALL SELECT -1, 1
+  UNION ALL SELECT 0, -1 UNION ALL SELECT 0, 0 UNION ALL SELECT 0, 1
+  UNION ALL SELECT 1, -1 UNION ALL SELECT 1, 0 UNION ALL SELECT 1, 1
+),
 ring AS (
+  -- 9-offset explode keeps this an EQUI-join (hash join); a BETWEEN range
+  -- join degenerates to a nested-loop cross product
   SELECT e.event_id, s.s_suppkey, {dist} AS dist_m, {guarantee} AS g_m
   FROM ev_g e
-  JOIN st s ON s.cx BETWEEN e.cx - 1 AND e.cx + 1
-           AND s.cy BETWEEN e.cy - 1 AND e.cy + 1
+  CROSS JOIN nbr d
+  JOIN st s ON s.cx = e.cx + d.dx AND s.cy = e.cy + d.dy
 ),
 ring_best AS (
   SELECT event_id, s_suppkey, dist_m FROM (
@@ -300,7 +307,7 @@ def _q_pip(dialect: str) -> str:
     return f"""
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(CASE WHEN {inside} THEN 1 ELSE 0 END AS BIGINT) AS in_zone
-FROM events
+FROM (SELECT /*+ REPARTITION(32) */ event_id FROM events)
 """
 
 

@@ -44,7 +44,8 @@ def dbscan_numpy(lons: np.ndarray, lats: np.ndarray, eps_m: float,
     dlat = eps_m / 111_320.0 * 1.5
     dlon = dlat / max(np.cos(np.radians(np.abs(lats).max())), 1e-6)
     neighbours: list[np.ndarray] = []
-    block = 2048
+    block = 256  # small blocks: large first-touch allocations stall badly
+    # on this VM, and blocks this size still amortize the numpy call cost
     for s in range(0, n, block):
         e = min(s + block, n)
         box_mask = (
