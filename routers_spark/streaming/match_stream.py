@@ -1,0 +1,217 @@
+"""Realtime matching pipeline — the reference's orchestrator/matcher loop
+(SURVEY §3.2) as a per-vehicle state machine + Structured Streaming wrapper.
+
+Reproduced semantics:
+  R7  lane gate: non-monotonic timestamps dropped as stale_or_duplicate
+      (orchestrator.rs:517-530)
+  R8  gap/teleport cut: walk history newest→oldest, stop at the first
+      Δt > 120 s; context window 10 (orchestrator.rs:626-668)
+  R1/R2 push + incremental solve over the retained window
+  R4  convergence cut: layers at or before the convergence point are final
+      and the state is truncated behind them (bin/matcher.rs:200-207)
+  R11 revision: monotonically increasing solve counter per vehicle;
+      consumers resolve competing layers by max revision (event.rs:99-115)
+  R9  partitioning by splitmix64(vehicle) % 1024 (partition.rs:43-45)
+
+The state machine is a pure function (``VehicleMatcherState.process``) so
+the streaming ≡ batch property is testable without a streaming runtime
+(tests mirror libs/routers_transition/tests/streaming.rs:68-87); the Spark
+wrapper runs it under ``applyInPandasWithState``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from routers_spark.config import CONTEXT_WINDOW, GAP_SECONDS
+from routers_spark.matching.matcher import (
+    MatchOptions,
+    candidates_for_point,
+    solve_trip,
+)
+from routers_spark.matching.trellis import Trellis, Unreachable
+
+
+@dataclass
+class VehicleMatcherState:
+    """Per-vehicle streaming state: retained raw observations + solve
+    bookkeeping. Serializable as plain tuples (for the Spark state store)."""
+
+    history: list[tuple[int, float, float]] = field(default_factory=list)
+    last_ts: int = -1
+    revision: int = 0
+    emitted_through: int = -1  # last finalized ts (convergence watermark)
+
+    def to_tuple(self):
+        return (
+            [list(h) for h in self.history],
+            self.last_ts,
+            self.revision,
+            self.emitted_through,
+        )
+
+    @classmethod
+    def from_tuple(cls, t):
+        return cls([tuple(h) for h in t[0]], t[1], t[2], t[3])
+
+    def process(self, graph, observations: list[tuple[int, float, float]],
+                opts: MatchOptions | None = None,
+                gap_seconds: int = GAP_SECONDS,
+                context_window: int = CONTEXT_WINDOW) -> list[dict]:
+        """Feed (ts_us, lon, lat) observations; returns emitted layer rows
+        {ts_us, edge_id, matched_lon, matched_lat, revision, final}."""
+        opts = opts or MatchOptions(drop_unanchored=True)
+
+        fresh = []
+        for ts, lon, lat in sorted(observations):
+            if ts <= self.last_ts:
+                continue  # R7 stale_or_duplicate
+            fresh.append((ts, lon, lat))
+            self.last_ts = ts
+        if not fresh:
+            return []
+        self.history.extend(fresh)
+
+        # R8: retain <= context_window, cut at the first gap walking
+        # newest -> oldest
+        kept = [self.history[-1]]
+        for prev, cur in zip(self.history[-2::-1], self.history[::-1]):
+            if cur[0] - prev[0] > gap_seconds * 1_000_000:
+                break
+            kept.append(prev)
+            if len(kept) >= context_window:
+                break
+        kept.reverse()
+        self.history = kept
+
+        # R1: candidates per retained point (unanchored points dropped —
+        # bin/matcher.rs:143-157)
+        layers = []
+        ts_kept = []
+        for ts, lon, lat in kept:
+            cand = candidates_for_point(graph, lon, lat,
+                                        opts.search_distance,
+                                        opts.emission_error)
+            if len(cand["edge_row"]):
+                layers.append(cand)
+                ts_kept.append(ts)
+        if not layers:
+            return []
+
+        result = solve_trip(graph, layers, opts)
+        if result["status"] != "matched":
+            return []
+        self.revision += 1
+
+        # R4 convergence cut: rebuild the solved trellis's convergence layer
+        conv = self._convergence(graph, layers, result)
+        out = []
+        for k, node in enumerate(result["path"]):
+            ts = ts_kept[k]
+            final = conv is not None and k <= conv
+            out.append({
+                "ts_us": ts,
+                "edge_id": int(graph.edge_id[layers[k]["edge_row"][node]]),
+                "matched_lon": float(layers[k]["px"][node]),
+                "matched_lat": float(layers[k]["py"][node]),
+                "revision": self.revision,
+                "final": bool(final),
+            })
+        if conv is not None and conv > 0:
+            # truncate state behind the convergence point (keep the
+            # converged layer itself as the resume anchor)
+            cut_ts = ts_kept[conv]
+            self.history = [h for h in self.history if h[0] >= cut_ts]
+            self.emitted_through = max(self.emitted_through, cut_ts)
+        return out
+
+    @staticmethod
+    def _convergence(graph, layers, result):
+        from routers_spark.graph.dijkstra import GLOBAL_PREDICATE_CACHE
+        from routers_spark.matching.matcher import _cand, transition_cost
+        from routers_spark.config import NO_EDGE
+
+        widths = [len(l["edge_row"]) for l in layers]
+        t = Trellis([widths[0]])
+        t.fill_nodes(0, layers[0]["emission"])
+        for k in range(1, len(widths)):
+            t.add_layer(widths[k], layers[k]["emission"])
+        for k in range(len(widths) - 1):
+            m = np.full((widths[k], widths[k + 1]), np.uint32(NO_EDGE),
+                        dtype=np.uint32)
+            for i in range(widths[k]):
+                for j in range(widths[k + 1]):
+                    r = transition_cost(graph, GLOBAL_PREDICATE_CACHE,
+                                        _cand(layers[k], i),
+                                        _cand(layers[k + 1], j))
+                    if r is not None:
+                        m[i, j] = r[0]
+            if not np.all(m == np.uint32(NO_EDGE)):
+                t.fill_transition(k, m)
+        try:
+            return t.convergence()
+        except Unreachable:
+            return None
+
+
+OUTPUT_SCHEMA = (
+    "vehicle_id long, ts_us long, edge_id long, matched_lon double, "
+    "matched_lat double, revision long, final boolean"
+)
+STATE_SCHEMA = (
+    "history array<array<double>>, last_ts long, revision long, "
+    "emitted_through long"
+)
+
+
+def match_stream(events_df, nodes_df, edges_df,
+                 opts: MatchOptions | None = None):
+    """Structured Streaming wrapper: events_df is a streaming DataFrame of
+    (vehicle_id long, ts_us long, lon double, lat double). Output: matched
+    layers with revision + finality. Partitioning uses the stable splitmix
+    contract, not Spark's default hash (O13)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from routers_spark.functions.hashing import partition_of_sql
+    from routers_spark.graph.packed import build_packed_graph, hydrate
+    import uuid
+
+    spark = events_df.sparkSession
+    g = build_packed_graph(nodes_df.toPandas(), edges_df.toPandas())
+    bc = spark.sparkContext.broadcast(g.to_broadcastable())
+    bc_key = uuid.uuid4().hex
+    opts = opts or MatchOptions(drop_unanchored=True)
+
+    def update(key, pdfs, state):
+        graph = hydrate(bc, bc_key)
+        vehicle = key[0]
+        if state.exists:
+            st = VehicleMatcherState.from_tuple(state.get)
+            st.history = [(int(a), b, c) for a, b, c in st.history]
+        else:
+            st = VehicleMatcherState()
+        obs = []
+        for pdf in pdfs:
+            obs += [(int(t), float(lo), float(la)) for t, lo, la in
+                    zip(pdf["ts_us"], pdf["lon"], pdf["lat"])]
+        rows = st.process(graph, obs, opts)
+        state.update((
+            [[float(a), b, c] for a, b, c in st.history],
+            st.last_ts, st.revision, st.emitted_through,
+        ))
+        if rows:
+            out = pd.DataFrame(rows)
+            out.insert(0, "vehicle_id", vehicle)
+            yield out
+
+    keyed = events_df.withColumn(
+        "part", F.expr(partition_of_sql("vehicle_id", "spark"))
+    ).repartition("part")
+    return keyed.groupBy("vehicle_id").applyInPandasWithState(
+        update, outputStructType=OUTPUT_SCHEMA, stateStructType=STATE_SCHEMA,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
+    )
