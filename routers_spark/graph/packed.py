@@ -212,7 +212,13 @@ def hydrate(bc, key: str) -> PackedGraph:
 
 def build_packed_graph(nodes_pdf, edges_pdf) -> PackedGraph:
     """From pandas frames nodes(node_id, lon, lat),
-    edges(edge_id, src, dst, weight)."""
+    edges(edge_id, src, dst, weight).
+
+    Edges are canonicalized to (edge_id, src, dst) order so edge_row indices
+    agree with the distributed cell-join candidate generator
+    (shard/partition.py) — candidate order drives trellis tie-breaks."""
+    edges_pdf = edges_pdf.sort_values(["edge_id", "src", "dst"],
+                                      kind="stable").reset_index(drop=True)
     order = np.argsort(nodes_pdf["node_id"].values)
     node_ids = nodes_pdf["node_id"].values[order].astype(np.int64)
     node_lon = nodes_pdf["lon"].values[order].astype(np.float64)

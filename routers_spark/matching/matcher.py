@@ -288,7 +288,10 @@ def _solve_pdf(pdf: pd.DataFrame, graph, opts: MatchOptions,
     result = solve_trip(graph, layers, opts)
     if result["status"] != "matched":
         return _status_row(trip_id, result["status"], output)
+    return _emit(trip_id, seqs, layers, result, graph, output)
 
+
+def _emit(trip_id: str, seqs, layers, result, graph, output: str) -> pd.DataFrame:
     path, cost, hops = result["path"], result["cost"], result["hops"]
     if output == "discretized":
         rows = {
@@ -373,13 +376,23 @@ def _status_row(trip_id: str, status: str, output: str) -> pd.DataFrame:
 
 
 def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
-                output: str = "discretized"):
+                output: str = "discretized", candidate_path: str = "broadcast",
+                salt: int = 0):
     """M17 facade: match every trip in points_df(trip_id, seq, lon, lat)
     against the road graph given as nodes(node_id, lon, lat) /
     edges(edge_id, src, dst, weight) DataFrames.
 
-    The graph is collected once, packed, and broadcast; trips shuffle once on
-    trip_id (the only wide dependency) and solve independently per group.
+    candidate_path:
+      - "broadcast": the graph is collected once, packed, broadcast; trips
+        shuffle once on trip_id (the only wide dependency) and candidate
+        generation + solving happen per group against the executor-resident
+        index. Right when the graph fits a broadcast (the north-rule shape).
+      - "celljoin": candidate generation runs as a distributed padded
+        cell-cover equi-join (shard/partition.py) — the scale path when the
+        corpus is huge and you want Catalyst/AQE managing the join (salting
+        via ``salt``); the solver then shuffles candidates on trip_id. Both
+        paths produce identical matches (tie-breaks share the canonical
+        edge_row order).
     """
     opts = opts or MatchOptions()
     spark = points_df.sparkSession
@@ -393,7 +406,55 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
 
     schema = DISCRETIZED_SCHEMA if output == "discretized" else INTERPOLATED_SCHEMA
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _solve_pdf(pdf, hydrate(bc, bc_key), opts, output)
+    if candidate_path == "broadcast":
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _solve_pdf(pdf, hydrate(bc, bc_key), opts, output)
 
-    return points_df.groupBy("trip_id").applyInPandas(run, schema=schema)
+        return points_df.groupBy("trip_id").applyInPandas(run, schema=schema)
+
+    from routers_spark.shard.partition import candidates_cell_join
+
+    cand = candidates_cell_join(
+        points_df, nodes_df, edges_df,
+        search_m=opts.search_distance, emission_error=opts.emission_error,
+        salt=salt,
+    )
+
+    def run_cand(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _solve_candidates_pdf(pdf, hydrate(bc, bc_key), opts, output)
+
+    return cand.groupBy("trip_id").applyInPandas(run_cand, schema=schema)
+
+
+def _solve_candidates_pdf(pdf: pd.DataFrame, graph, opts: MatchOptions,
+                          output: str) -> pd.DataFrame:
+    """Solve one trip from pre-joined candidate rows (celljoin stage A
+    output). Layers are rebuilt per seq with candidates in canonical
+    edge_row order; edge_row == -1 marks an unanchored point."""
+    trip_id = pdf["trip_id"].iloc[0]
+    pdf = pdf.sort_values(["seq", "edge_row"], kind="stable")
+    layers = []
+    seqs = []
+    for seq, grp in pdf.groupby("seq", sort=True):
+        rows = grp[grp["edge_row"] >= 0]
+        layers.append({
+            "edge_row": rows["edge_row"].values.astype(np.int64),
+            "frac": rows["frac"].values.astype(np.float64),
+            "px": rows["px"].values.astype(np.float64),
+            "py": rows["py"].values.astype(np.float64),
+            "dist_m": rows["dist_m"].values.astype(np.float64),
+            "emission": rows["emission"].values.astype(np.uint32),
+        })
+        seqs.append(seq)
+    seqs = np.asarray(seqs)
+    if opts.drop_unanchored:
+        keep = [i for i, l in enumerate(layers) if len(l["edge_row"]) > 0]
+        layers = [layers[i] for i in keep]
+        seqs = seqs[keep]
+        if not layers:
+            return _status_row(trip_id, "unanchored", output)
+
+    result = solve_trip(graph, layers, opts)
+    if result["status"] != "matched":
+        return _status_row(trip_id, result["status"], output)
+    return _emit(trip_id, seqs, layers, result, graph, output)

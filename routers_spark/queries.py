@@ -259,9 +259,13 @@ ring_best AS (
   ) r WHERE rn = 1 AND dist_m <= g_m
 ),
 fallback AS (
+  -- LEFT ... IS NULL instead of NOT IN: a null-aware NOT IN degenerates to
+  -- a nested-loop scan of the subquery per row
   SELECT e.event_id, s.s_suppkey, {dist} AS dist_m
-  FROM ev_g e CROSS JOIN st s
-  WHERE e.event_id NOT IN (SELECT event_id FROM ring_best)
+  FROM (SELECT eg.* FROM ev_g eg
+        LEFT JOIN ring_best rb ON eg.event_id = rb.event_id
+        WHERE rb.event_id IS NULL) e
+  CROSS JOIN st s
 ),
 fallback_best AS (
   SELECT event_id, s_suppkey, dist_m FROM (

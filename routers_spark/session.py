@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces to max(total/parallelism, minPartitionSize); the 1MB
+        # default floor collapses small-bytes/expensive-per-row pandas-UDF
+        # stages (per-trip Viterbi!) into one task. A small floor keeps
+        # parallelismFirst meaningful; at cluster scale total/parallelism
+        # >> 16k so behavior there is unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -1,0 +1,176 @@
+"""Padded cell-cover edge partitioning (P4/P5) and the DataFrame-level
+candidate join — the scale path that drops the broadcast requirement for
+huge graphs.
+
+The reference's shard builder admits an edge into a cell when the edge
+intersects the cell's padded bounds (libs/routers_shard/src/selection.rs:
+52-96 equirectangular padding with M_PER_DEG = 111_320, cos-lat corrected;
+network.rs:110-169 admit rules). Here that becomes: explode every edge to
+the integer grid cells its padded bbox covers, join points on their single
+cell, refine, project — boundary correctness via duplication (O11), no
+dedup needed because a point consumes exactly one cell's edge list.
+
+Everything before the projection UDF is JVM Column algebra (explode via
+``sequence``), so Catalyst prunes/pushes; the projection+emission kernel is
+ONE vectorized Arrow pass over the joined pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from routers_spark.config import DEFAULT_EMISSION_ERROR_M, DEFAULT_SEARCH_DISTANCE_M, M_PER_DEG
+from routers_spark.functions.geo import (
+    haversine_m_np,
+    line_locate_point_np,
+    point_at_ratio_np,
+    square_box_np,
+)
+from routers_spark.matching import costing
+
+
+def edges_with_cover_cells(edges_df: DataFrame, nodes_df: DataFrame,
+                           cell_deg: float, pad_m: float) -> DataFrame:
+    """Edge rows exploded to covered (cx, cy) cells: bbox of the edge's
+    endpoints expanded by ``pad_m`` (equirectangular °/m, cos-lat corrected
+    — selection.rs:16-29), floored onto the world-anchored grid."""
+    n = nodes_df.select(
+        F.col("node_id"), F.col("lon").alias("n_lon"), F.col("lat").alias("n_lat")
+    )
+    e = (
+        edges_df.join(n.withColumnRenamed("node_id", "src"), "src")
+        .withColumnsRenamed({"n_lon": "ax", "n_lat": "ay"})
+        .join(n.withColumnRenamed("node_id", "dst"), "dst")
+        .withColumnsRenamed({"n_lon": "bx", "n_lat": "by"})
+    )
+    pad_lat = pad_m / M_PER_DEG
+    pad_lon = F.lit(pad_m) / (
+        F.lit(M_PER_DEG)
+        * F.cos(F.radians(F.greatest(F.abs("ay"), F.abs("by"))))
+    )
+    min_x = F.least("ax", "bx") - pad_lon
+    max_x = F.greatest("ax", "bx") + pad_lon
+    min_y = F.least("ay", "by") - F.lit(pad_lat)
+    max_y = F.greatest("ay", "by") + F.lit(pad_lat)
+    cx0 = F.floor((min_x + 180.0) / cell_deg)
+    cx1 = F.floor((max_x + 180.0) / cell_deg)
+    cy0 = F.floor((min_y + 90.0) / cell_deg)
+    cy1 = F.floor((max_y + 90.0) / cell_deg)
+    return (
+        e.withColumn("cx", F.explode(F.sequence(cx0, cx1)))
+        .withColumn("cy", F.explode(F.sequence(cy0, cy1)))
+    )
+
+
+def point_cells(points_df: DataFrame, cell_deg: float,
+                lon: str = "lon", lat: str = "lat") -> DataFrame:
+    return points_df.withColumns({
+        "cx": F.floor((F.col(lon) + 180.0) / cell_deg),
+        "cy": F.floor((F.col(lat) + 90.0) / cell_deg),
+    })
+
+
+CANDIDATE_SCHEMA = (
+    "trip_id string, seq int, lon double, lat double, edge_id long, "
+    "edge_row long, frac double, px double, py double, dist_m double, "
+    "emission long"
+)
+
+
+def candidates_cell_join(points_df: DataFrame, nodes_df: DataFrame,
+                         edges_df: DataFrame,
+                         search_m: float = DEFAULT_SEARCH_DISTANCE_M,
+                         emission_error: float = DEFAULT_EMISSION_ERROR_M,
+                         cell_deg: float = 0.002,
+                         salt: int = 0) -> DataFrame:
+    """Stage A of the match lifecycle as a distributed cell equi-join
+    (SURVEY §3.1): points join the padded edge cover on their single cell,
+    a JVM bbox prefilter reproduces the square-box scan (X4 semantics via
+    the projection refinement below), then ONE Arrow pass projects and
+    prices every surviving pair (X6 + M2). Unanchored points are preserved
+    via left join (edge_id = -1 rows).
+
+    ``salt`` > 0 additionally splits hot cells: edges duplicate into
+    ``salt`` sub-keys and each point picks one pseudo-randomly — the
+    explicit skew-handling knob (north rule) on top of AQE's skew splits.
+    """
+    # edge_row is the canonical per-directed-edge index shared with the
+    # broadcast path: rank over (edge_id, src, dst) — build_packed_graph
+    # sorts identically, so candidate ordering (and thus trellis tie-breaks)
+    # agree across both candidate generators.
+    from pyspark.sql.window import Window
+
+    base = edges_df.select("edge_id", "src", "dst", "weight").withColumn(
+        "edge_row",
+        F.row_number().over(Window.orderBy("edge_id", "src", "dst")) - 1,
+    )
+    edges_cover = edges_with_cover_cells(
+        base, nodes_df, cell_deg, pad_m=search_m * 1.5 + 10.0
+    )
+
+    pts = point_cells(points_df, cell_deg)
+    join_keys = ["cx", "cy"]
+    if salt > 0:
+        edges_cover = edges_cover.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        pts = pts.withColumn(
+            "salt", F.pmod(F.hash("trip_id", "seq"), F.lit(salt))
+        )
+        join_keys = ["cx", "cy", "salt"]
+
+    paired = pts.join(edges_cover, join_keys, "left")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lon = pdf["lon"].values.astype(np.float64)
+            lat = pdf["lat"].values.astype(np.float64)
+            miss = pdf["edge_id"].isna().values
+            ax = pdf["ax"].values.astype(np.float64)
+            ay = pdf["ay"].values.astype(np.float64)
+            bx = pdf["bx"].values.astype(np.float64)
+            by = pdf["by"].values.astype(np.float64)
+            min_lon, min_lat, max_lon, max_lat = square_box_np(lon, lat, search_m)
+            hit = (
+                ~miss
+                & (np.minimum(ax, bx) <= max_lon) & (np.maximum(ax, bx) >= min_lon)
+                & (np.minimum(ay, by) <= max_lat) & (np.maximum(ay, by) >= min_lat)
+            )
+            frac = np.full(len(pdf), np.nan)
+            px = np.full(len(pdf), np.nan)
+            py = np.full(len(pdf), np.nan)
+            dist = np.full(len(pdf), np.nan)
+            emis = np.full(len(pdf), -1, dtype=np.int64)
+            if hit.any():
+                f = line_locate_point_np(ax[hit], ay[hit], bx[hit], by[hit],
+                                         lon[hit], lat[hit])
+                ff = np.where(np.isnan(f), 0.0, f)
+                hx, hy = point_at_ratio_np(ax[hit], ay[hit], bx[hit], by[hit], ff)
+                d = haversine_m_np(hx, hy, lon[hit], lat[hit])
+                frac[hit] = f
+                px[hit] = hx
+                py[hit] = hy
+                dist[hit] = d
+                emis[hit] = costing.emission_cost_u32(d, emission_error).astype(np.int64)
+            keep = hit | miss
+            out = pd.DataFrame({
+                "trip_id": pdf["trip_id"].values,
+                "seq": pdf["seq"].values.astype("int32"),
+                "lon": lon, "lat": lat,
+                "edge_id": np.where(miss, -1, pdf["edge_id"].fillna(-1).values).astype(np.int64),
+                "edge_row": pdf["edge_row"].fillna(-1).values.astype(np.int64),
+                "frac": frac, "px": px, "py": py, "dist_m": dist,
+                "emission": emis,
+            })
+            yield out[keep]
+
+    cols = ["trip_id", "seq", "lon", "lat", "edge_id", "edge_row",
+            "ax", "ay", "bx", "by"]
+    return paired.select(*cols).mapInPandas(kernel, schema=CANDIDATE_SCHEMA)

@@ -1,0 +1,100 @@
+"""The north-star scaling job: matched-edge + tile-assignment rows/sec.
+
+One heavy pipeline — map-match a large synthetic trip corpus against the
+grid road graph AND assign tile/hilbert/geohash cells to a large point set —
+sized so real work dominates fixed overheads (JVM warm-up, codegen, task
+scheduling), which is what makes a two-parallelism scaling measurement
+meaningful.
+
+Usage:  SPARK_GRAFT_CPUS=8|32 python tools/scaling_job.py [n_trips] [n_tile_rows]
+Prints one JSON line: {"cpus", "match_sec", "match_rows", "tile_sec",
+"tile_rows", "rows_per_sec"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from routers_spark import queries as Q
+    from routers_spark.fixtures.roads import grid_network, walk_trips
+    from routers_spark.functions import sqlgen
+    from routers_spark.matching.matcher import match_trips
+    from routers_spark.session import get_spark
+
+    n_trips = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
+    n_tile_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    spark = get_spark(f"local[{cpus}]", app_name="scaling_job",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- stage 1: map matching (per-trip Viterbi over broadcast graph)
+    nodes, edges = grid_network(50)
+    trips = walk_trips(nodes, edges, n_trips=n_trips, points_per_trip=10,
+                       seed=42)
+    points_df = spark.createDataFrame(trips).repartition(cpus * 4, "trip_id")
+    nodes_df = spark.createDataFrame(nodes)
+    edges_df = spark.createDataFrame(edges)
+    t0 = time.perf_counter()
+    matched = match_trips(points_df, nodes_df, edges_df)
+    matched.write.mode("overwrite").format("noop").save()
+    match_sec = time.perf_counter() - t0
+    match_rows = len(trips)  # one output row per GPS point
+
+    # ---- stage 2: tile assignment (slippy + geohash + hilbert) as ONE
+    # linear CTE program — chaining separate withColumn pipelines broke
+    # whole-stage codegen (42s -> ~6s for the same work)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = ev.count()
+    mult = max(1, n_tile_rows // max(n_events, 1))
+    big = (
+        ev.withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(mult))))
+        .withColumn("lon", F.expr(Q.EVENT_LON) + F.col("rep") * 1e-7)
+        .withColumn("lat", F.expr(Q.EVENT_LAT))
+        .select("event_id", "rep", "lon", "lat")
+        .repartition(cpus * 4)
+    )
+    big.createOrReplaceTempView("pts")
+    S = sqlgen.SPARK
+    prog = sqlgen.Program("SELECT event_id, rep, lon, lat FROM pts",
+                          ["event_id", "rep", "lon", "lat"])
+    gh6 = sqlgen.p_geohash_str(prog, S, "lon", "lat", 6)
+    sx, sy = sqlgen.slippy_xy_expr(S, "lon", "lat", 15)
+    src = prog.render([
+        "event_id", "rep", f"{gh6} AS gh6",
+        f"CAST({sx} AS BIGINT) AS tx", f"CAST({sy} AS BIGINT) AS ty",
+    ])
+    sql = sqlgen.hilbert_xy2h_cte_sql(S, src, "tx", "ty", 15,
+                                      ["event_id", "rep", "gh6", "tx", "ty"])
+    t0 = time.perf_counter()
+    spark.sql(sql).write.mode("overwrite").format("noop").save()
+    tile_sec = time.perf_counter() - t0
+    tile_rows = mult * n_events
+
+    out = {
+        "cpus": cpus,
+        "match_sec": round(match_sec, 2),
+        "match_rows": match_rows,
+        "tile_sec": round(tile_sec, 2),
+        "tile_rows": tile_rows,
+        "rows_per_sec": round(
+            (match_rows + tile_rows) / (match_sec + tile_sec), 1
+        ),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
