@@ -1,0 +1,67 @@
+"""Cell-join candidate path ≡ broadcast path: identical candidates and
+identical matches (the padding-duplication boundary-correctness proof,
+O11/X8)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from routers_spark.fixtures.roads import grid_network, walk_trips
+from routers_spark.matching.matcher import match_trips
+
+
+@pytest.fixture(scope="module")
+def inputs(spark):
+    nodes, edges = grid_network(15)
+    trips = walk_trips(nodes, edges, n_trips=8, points_per_trip=8, seed=21)
+    return (
+        spark.createDataFrame(trips),
+        spark.createDataFrame(nodes),
+        spark.createDataFrame(edges),
+    )
+
+
+def _sorted(df):
+    pdf = df.toPandas().sort_values(["trip_id", "seq"]).reset_index(drop=True)
+    return pdf
+
+
+def test_celljoin_matches_broadcast(spark, inputs):
+    points_df, nodes_df, edges_df = inputs
+    a = _sorted(match_trips(points_df, nodes_df, edges_df,
+                            candidate_path="broadcast"))
+    b = _sorted(match_trips(points_df, nodes_df, edges_df,
+                            candidate_path="celljoin"))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_celljoin_with_salt_matches(spark, inputs):
+    points_df, nodes_df, edges_df = inputs
+    a = _sorted(match_trips(points_df, nodes_df, edges_df,
+                            candidate_path="celljoin"))
+    b = _sorted(match_trips(points_df, nodes_df, edges_df,
+                            candidate_path="celljoin", salt=4))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_celljoin_candidate_sets_match_boxquery(spark, inputs):
+    from routers_spark.graph.packed import build_packed_graph
+    from routers_spark.matching.matcher import MatchOptions, candidates_for_point
+    from routers_spark.shard.partition import candidates_cell_join
+
+    points_df, nodes_df, edges_df = inputs
+    cand = candidates_cell_join(points_df, nodes_df, edges_df).toPandas()
+    g = build_packed_graph(nodes_df.toPandas(), edges_df.toPandas())
+    g.build_cell_index()
+    opts = MatchOptions()
+    pts = points_df.toPandas()
+    for _, r in pts.iterrows():
+        local = candidates_for_point(g, r.lon, r.lat, opts.search_distance,
+                                     opts.emission_error)
+        dist = cand[(cand.trip_id == r.trip_id) & (cand.seq == r.seq)
+                    & (cand.edge_row >= 0)].sort_values("edge_row")
+        assert list(dist["edge_row"]) == list(local["edge_row"]), (r.trip_id, r.seq)
+        if len(dist):
+            np.testing.assert_allclose(dist["px"].values, local["px"], atol=1e-12)
+            np.testing.assert_array_equal(dist["emission"].values,
+                                          local["emission"].astype(np.int64))
