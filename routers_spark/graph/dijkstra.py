@@ -25,6 +25,26 @@ import numpy as np
 from routers_spark.config import DIJKSTRA_BOUND_CM, PREDICATE_CACHE_CAPACITY
 
 
+# per-process scratch buffers, one set per graph, reused across roots via a
+# generation stamp — the dict/set churn of a fresh search per root dominated
+# allocator traffic in the hot path.
+_SCRATCH: dict[int, dict] = {}
+
+
+def _scratch_for(graph):
+    key = id(graph)
+    s = _SCRATCH.get(key)
+    n = len(graph.node_ids)
+    if s is None or len(s["best"]) != n:
+        s = {
+            "best": np.full(n, 0, dtype=np.int64),
+            "seen": np.zeros(n, dtype=np.int64),
+            "gen": 0,
+        }
+        _SCRATCH[key] = s
+    return s
+
+
 def bounded_dijkstra_parents(
     graph, root_idx: int, threshold_cm: float = DIJKSTRA_BOUND_CM
 ) -> dict[int, int]:
@@ -38,36 +58,44 @@ def bounded_dijkstra_parents(
     ew = graph.edge_weight
     elen = graph.edge_len_cm
 
+    s = _scratch_for(graph)
+    s["gen"] += 1
+    gen = s["gen"]
+    # best packs (gen << 34 | repr+1) so a stale generation never matches;
+    # repr fits 32 bits, +1 keeps 0 distinct from "unset"
+    best = s["best"]
+    seen = s["seen"]
+    gen_base = gen << 34
+
     # heap entries: (repr, seq, node, num, den, dist_cm, parent)
     # seq keeps ties deterministic (FIFO); the Rust BinaryHeap tie order is
     # unspecified, so tie determinism is OURS by definition.
     seq = 0
-    heap = [(0, seq, root_idx, 0, 0, 0, root_idx)]
-    best: dict[int, tuple[int, int]] = {root_idx: (0, 0)}  # node -> (repr, seq at push)
+    heap = [(0, 0, root_idx, 0, 0, 0, root_idx)]
+    best[root_idx] = gen_base | 1
     parents: dict[int, int] = {}
-    seen: set[int] = set()
 
     while heap:
         rep, _, node, num, den, dist, parent = heapq.heappop(heap)
-        if node in seen:
+        if seen[node] == gen:
             continue
-        seen.add(node)
+        seen[node] = gen
         if float(dist) >= threshold_cm:
             break  # take_while: iteration ends entirely
         parents[node] = parent
         for e in erows[indptr[node]:indptr[node + 1]]:
             nxt = int(edst[e])
-            if nxt in seen:
+            if seen[nxt] == gen:
                 continue
             n_num = num + int(ew[e])
             n_den = den + 1
             n_dist = dist + int(elen[e])
             n_rep = int(float((n_num // n_den) ** 2) * float(n_dist)) & 0xFFFFFFFF
-            prev = best.get(nxt)
-            if prev is not None and prev[0] <= n_rep:
+            prev = int(best[nxt])
+            if prev >> 34 == gen and (prev & 0x3FFFFFFFF) <= n_rep + 1:
                 continue
             seq += 1
-            best[nxt] = (n_rep, seq)
+            best[nxt] = gen_base | (n_rep + 1)
             heapq.heappush(heap, (n_rep, seq, nxt, n_num, n_den, n_dist, node))
     return parents
 

@@ -62,25 +62,50 @@ def candidates_for_point(graph, lon: float, lat: float, search_distance: float,
     """M1/X6: one candidate per edge intersecting the square box — projected
     position, distance, emission cost. Canonical candidate order = ascending
     edge row (stable; the trellis tie-breaks depend on it)."""
-    min_lon, min_lat, max_lon, max_lat = square_box_np([lon], [lat], search_distance)
-    rows = graph.box_query(min_lon[0], min_lat[0], max_lon[0], max_lat[0])
-    if len(rows) == 0:
-        return {
-            "edge_row": rows, "frac": np.empty(0), "px": np.empty(0),
-            "py": np.empty(0), "dist_m": np.empty(0),
+    return candidates_for_points(graph, np.array([lon]), np.array([lat]),
+                                 search_distance, emission_error)[0]
+
+
+def candidates_for_points(graph, lons, lats, search_distance: float,
+                          emission_error: float) -> list[dict]:
+    """Batch variant (the rayon par-iter analog, generation/mod.rs:33-37):
+    box queries per point, then ONE vectorized projection/emission pass over
+    every (point, candidate-edge) pair."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    min_lon, min_lat, max_lon, max_lat = square_box_np(lons, lats, search_distance)
+    per_point = [
+        graph.box_query(min_lon[i], min_lat[i], max_lon[i], max_lat[i])
+        for i in range(len(lons))
+    ]
+    counts = np.array([len(r) for r in per_point])
+    if counts.sum() == 0:
+        empty = {
+            "edge_row": np.empty(0, dtype=np.int64), "frac": np.empty(0),
+            "px": np.empty(0), "py": np.empty(0), "dist_m": np.empty(0),
             "emission": np.empty(0, dtype=np.uint32),
         }
+        return [dict(empty) for _ in per_point]
+    rows = np.concatenate([r for r in per_point if len(r)])
+    p_lon = np.repeat(lons, counts)
+    p_lat = np.repeat(lats, counts)
     ax, ay = graph.ax[rows], graph.ay[rows]
     bx, by = graph.bx[rows], graph.by[rows]
-    frac = line_locate_point_np(ax, ay, bx, by, lon, lat)
+    frac = line_locate_point_np(ax, ay, bx, by, p_lon, p_lat)
     frac_f = np.where(np.isnan(frac), 0.0, frac)
     px, py = point_at_ratio_np(ax, ay, bx, by, frac_f)
-    dist = haversine_m_np(px, py, lon, lat)
+    dist = haversine_m_np(px, py, p_lon, p_lat)
     emission = costing.emission_cost_u32(dist, emission_error)
-    return {
-        "edge_row": rows, "frac": frac, "px": px, "py": py,
-        "dist_m": dist, "emission": emission,
-    }
+    out = []
+    off = 0
+    for c in counts:
+        sl = slice(off, off + c)
+        out.append({
+            "edge_row": rows[sl], "frac": frac[sl], "px": px[sl],
+            "py": py[sl], "dist_m": dist[sl], "emission": emission[sl],
+        })
+        off += c
+    return out
 
 
 # ------------------------------------------------------------ transitions
@@ -273,11 +298,8 @@ def _solve_pdf(pdf: pd.DataFrame, graph, opts: MatchOptions,
     lats = pdf["lat"].values
     seqs = pdf["seq"].values
 
-    layers = [
-        candidates_for_point(graph, float(lons[i]), float(lats[i]),
-                             opts.search_distance, opts.emission_error)
-        for i in range(len(lons))
-    ]
+    layers = candidates_for_points(graph, lons, lats,
+                                   opts.search_distance, opts.emission_error)
     if opts.drop_unanchored:
         keep = [i for i, l in enumerate(layers) if len(l["edge_row"]) > 0]
         layers = [layers[i] for i in keep]
