@@ -40,12 +40,19 @@ SUPP_LAT = "(33.7e0 + CAST((s_suppkey * 2749) % 64 AS DOUBLE) * 64.0e-4)"
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    # deep CTE chains (bit-twiddling programs) need more analyzer sweeps
-    # than the default 100; harmless otherwise.
-    try:
-        spark.conf.set("spark.sql.analyzer.maxIterations", "1000")
-    except Exception:  # noqa: BLE001 — conf may be locked; queries still work
-        pass
+    # This runs under the CALLER's session (the driver uses a vanilla one):
+    # - ANSI mode (Spark 4 default ON) makes BIGINT `*` raise on overflow,
+    #   but the stable-hash kernels (splitmix/FNV) REQUIRE two's-complement
+    #   wrapping — legacy arithmetic is part of their contract;
+    # - deep CTE chains (bit-twiddling programs) need more analyzer sweeps
+    #   than the default 100. Both are runtime-settable SQLConfs.
+    for k, v in (("spark.sql.ansi.enabled", "false"),
+                 ("spark.sql.analyzer.maxIterations", "1000"),
+                 ("spark.sql.session.timeZone", "UTC")):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — conf locked; most queries still work
+            pass
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 

@@ -20,10 +20,11 @@ import subprocess
 import sys
 
 
-def run_level(cpus: int, sf_dir: str) -> dict:
+def run_level(cpus: int, sf_dir: str, n_trips: int, n_tile: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
-        [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
+        [sys.executable, "tools/scaling_job.py", str(n_trips), str(n_tile)],
+        env=env, capture_output=True, text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         check=True,
     )
@@ -34,31 +35,33 @@ def run_level(cpus: int, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench_scaling.json"
-    r8 = run_level(8, sf_dir)
-    r32 = run_level(32, sf_dir)
-    effs = {}
-    for q, t8 in r8["queries"].items():
-        t32 = r32["queries"].get(q)
-        if t32:
-            effs[q] = round((t8 / t32) / 4.0, 3)
-    total_eff = round((r8["value"] / r32["value"]) / 4.0, 3)
+    n_trips = int(sys.argv[3]) if len(sys.argv) > 3 else 30000
+    n_tile = int(sys.argv[4]) if len(sys.argv) > 4 else 8_000_000
+    r8 = run_level(8, sf_dir, n_trips, n_tile)
+    r32 = run_level(32, sf_dir, n_trips, n_tile)
+    effs = {
+        "match": round((r8["match_sec"] / r32["match_sec"]) / 4.0, 3),
+        "tile": round((r8["tile_sec"] / r32["tile_sec"]) / 4.0, 3),
+    }
+    t8 = r8["match_sec"] + r8["tile_sec"]
+    t32 = r32["match_sec"] + r32["tile_sec"]
     result = {
         "sf": sf_dir,
         "local8": r8,
         "local32": r32,
-        "per_query_efficiency": effs,
-        "suite_efficiency": total_eff,
+        "per_stage_efficiency": effs,
+        "overall_efficiency": round((t8 / t32) / 4.0, 3),
     }
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
 
-    print("| query | local[8] s | local[32] s | efficiency (T8/T32)/4 |")
+    print("| stage | local[8] s | local[32] s | efficiency (T8/T32)/4 |")
     print("|---|---|---|---|")
-    for q in r8["queries"]:
-        print(f"| {q} | {r8['queries'][q]} | {r32['queries'][q]} | {effs.get(q)} |")
-    print(f"| **suite total** | {r8['value']} | {r32['value']} | **{total_eff}** |")
-    print(f"\nnorth-star rows/s: local[8]={r8['north_star_rows_per_sec']} "
-          f"local[32]={r32['north_star_rows_per_sec']}")
+    print(f"| map match | {r8['match_sec']} | {r32['match_sec']} | {effs['match']} |")
+    print(f"| tile assignment | {r8['tile_sec']} | {r32['tile_sec']} | {effs['tile']} |")
+    print(f"| **total** | {t8:.2f} | {t32:.2f} | **{result['overall_efficiency']}** |")
+    print(f"\nnorth-star rows/s: local[8]={r8['rows_per_sec']} "
+          f"local[32]={r32['rows_per_sec']}")
 
 
 if __name__ == "__main__":
