@@ -20,8 +20,12 @@ from routers_spark import queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _q.spark_fn("tile_assign_slippy")(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the engine's core capability: HMM/Viterbi map matching
+    (one matched edge per GPS point) over the deterministic fixture corpus —
+    broadcast packed graph, per-trip Arrow-batched solve."""
+    return _q.queries()["map_match_discretized"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
