@@ -46,12 +46,16 @@ def _scratch_for(graph):
 
 
 def bounded_dijkstra_parents(
-    graph, root_idx: int, threshold_cm: float = DIJKSTRA_BOUND_CM
+    graph, root_idx: int, threshold_cm: float = DIJKSTRA_BOUND_CM,
+    access_mask: np.ndarray | None = None,
 ) -> dict[int, int]:
     """Parent-pointer map of every node popped before the distance cutoff
     (PredicateCache::calculate, cache.rs:291-326). Keys/values are dense
     node indices; the root maps to itself (reference uses
-    ``parent.unwrap_or_default()`` for the root)."""
+    ``parent.unwrap_or_default()`` for the root).
+
+    ``access_mask`` (bool per edge row) gates every expansion on runtime
+    accessibility, the successor filter of cache.rs:297-315."""
     indptr = graph.csr_indptr
     erows = graph.csr_edge_row
     edst = graph.edge_dst
@@ -84,13 +88,18 @@ def bounded_dijkstra_parents(
             break  # take_while: iteration ends entirely
         parents[node] = parent
         for e in erows[indptr[node]:indptr[node + 1]]:
+            if access_mask is not None and not access_mask[e]:
+                continue  # inaccessible under the runtime profile
             nxt = int(edst[e])
             if seen[nxt] == gen:
                 continue
             n_num = num + int(ew[e])
             n_den = den + 1
             n_dist = dist + int(elen[e])
-            n_rep = int(float((n_num // n_den) ** 2) * float(n_dist)) & 0xFFFFFFFF
+            # Rust's `as u32` float cast SATURATES (weight_and_distance.rs:
+            # 34-36) — unreachable within the 2 km bound, pinned anyway.
+            n_rep = min(int(float((n_num // n_den) ** 2) * float(n_dist)),
+                        0xFFFFFFFF)
             prev = int(best[nxt])
             if prev >> 34 == gen and (prev & 0x3FFFFFFFF) <= n_rep + 1:
                 continue
@@ -117,27 +126,97 @@ def parent_path(parents: dict[int, int], root: int, leaf: int) -> list[int] | No
     return nodes
 
 
+class ParentMap:
+    """A root's parent map in vectorizable form: sorted node-id keys, parent
+    ids, LOCAL parent indices (gather-walkable without searchsorted) and
+    per-node depth (path length known up front). Built once per cache fill;
+    the batched weigher walks thousands of leaves against it with pure
+    integer gathers."""
+
+    __slots__ = ("keys", "vals", "loc", "depth")
+
+    def __init__(self, parents: dict[int, int]):
+        k = len(parents)
+        if k == 0:
+            self.keys = np.empty(0, dtype=np.int64)
+            self.vals = np.empty(0, dtype=np.int64)
+            self.loc = np.empty(0, dtype=np.int64)
+            self.depth = np.empty(0, dtype=np.int64)
+            return
+        keys = np.fromiter(parents.keys(), dtype=np.int64, count=k)
+        vals = np.fromiter(parents.values(), dtype=np.int64, count=k)
+        # depth in insertion (pop) order: a parent is always popped before
+        # its child, so one forward pass suffices
+        depth_by: dict[int, int] = {}
+        dep = np.empty(k, dtype=np.int64)
+        for i, (node, parent) in enumerate(parents.items()):
+            d = 0 if parent == node else depth_by[parent] + 1
+            depth_by[node] = d
+            dep[i] = d
+        order = np.argsort(keys)
+        self.keys = keys[order]
+        self.vals = vals[order]
+        self.depth = dep[order]
+        self.loc = np.searchsorted(self.keys, self.vals)
+
+    def locate(self, nodes: np.ndarray):
+        """(local_idx, member_mask) for an array of node ids."""
+        nk = len(self.keys)
+        pos = np.searchsorted(self.keys, nodes)
+        if nk == 0:
+            return pos, np.zeros(len(nodes), dtype=bool)
+        member = (pos < nk) & (self.keys[np.minimum(pos, nk - 1)] == nodes)
+        return pos, member
+
+
+def parent_path_pm(pm: ParentMap, root: int, leaf: int) -> list[int] | None:
+    """Scalar parent walk over a ParentMap — same semantics as
+    :func:`parent_path` (leaf outside the bound → None)."""
+    nk = len(pm.keys)
+    i = int(np.searchsorted(pm.keys, leaf))
+    if i >= nk or pm.keys[i] != leaf:
+        return None
+    nodes = []
+    cur = i
+    while True:
+        nodes.append(int(pm.keys[cur]))
+        if pm.keys[cur] == root:
+            break
+        cur = int(pm.loc[cur])
+    nodes.reverse()
+    return nodes
+
+
 class PredicateCache:
     """Bounded read-through LRU of parent maps keyed by root index
-    (cache.rs:19,113-122). One per executor process via module singleton."""
+    (cache.rs:19,113-122). One per executor process via module singleton.
+
+    Entries are stored as sorted (keys, vals) index arrays so the batched
+    boundary weigher can walk many leaves per root with vectorized
+    searchsorted lookups. ``profile`` extends the key when runtime
+    accessibility gating is active (the reference's own TODO at
+    cache.rs:308-313 notes its profile-less key taints queries — we fix it)."""
 
     def __init__(self, capacity: int = PREDICATE_CACHE_CAPACITY,
                  threshold_cm: float = DIJKSTRA_BOUND_CM):
         self.capacity = capacity
         self.threshold_cm = threshold_cm
-        self._map: OrderedDict[tuple[int, int], dict[int, int]] = OrderedDict()
+        self._map: OrderedDict[tuple, ParentMap] = OrderedDict()
 
-    def query(self, graph, root_idx: int) -> dict[int, int]:
-        key = (id(graph), root_idx)
+    def query(self, graph, root_idx: int, profile=None) -> ParentMap:
+        key = (id(graph), root_idx, profile)
         hit = self._map.get(key)
         if hit is not None:
             self._map.move_to_end(key)
             return hit
-        parents = bounded_dijkstra_parents(graph, root_idx, self.threshold_cm)
-        self._map[key] = parents
+        mask = graph.access_mask(profile) if profile is not None else None
+        parents = bounded_dijkstra_parents(graph, root_idx, self.threshold_cm,
+                                           access_mask=mask)
+        entry = ParentMap(parents)
+        self._map[key] = entry
         if len(self._map) > self.capacity:
             self._map.popitem(last=False)
-        return parents
+        return entry
 
 
 GLOBAL_PREDICATE_CACHE = PredicateCache()

@@ -34,6 +34,8 @@ class PackedGraph:
         edge_src: np.ndarray,      # int32 dense node index
         edge_dst: np.ndarray,      # int32 dense node index
         edge_weight: np.ndarray,   # uint32 road-class weight
+        edge_fwd: np.ndarray | None = None,   # bool: forward twin?
+        edge_access: list | None = None,      # per-edge (mode,dir,value) tags
     ):
         self.node_ids = node_ids
         self.node_lon = node_lon
@@ -42,6 +44,10 @@ class PackedGraph:
         self.edge_src = edge_src
         self.edge_dst = edge_dst
         self.edge_weight = edge_weight.astype(np.uint32)
+        self.edge_fwd = (np.ones(len(edge_id), dtype=bool)
+                         if edge_fwd is None else np.asarray(edge_fwd, dtype=bool))
+        self.edge_access = edge_access  # None = no access metadata anywhere
+        self._access_masks: dict[tuple, np.ndarray] = {}
 
         # per-edge geometry + length (cm, truncated: cache.rs:211 `as u32`)
         self.ax = node_lon[edge_src]
@@ -94,6 +100,21 @@ class PackedGraph:
         """Outgoing edge rows of a node (G1 edges_outof)."""
         lo, hi = self.csr_indptr[node_idx], self.csr_indptr[node_idx + 1]
         return self.csr_edge_row[lo:hi]
+
+    def access_mask(self, profile) -> np.ndarray | None:
+        """Per-edge accessibility under a TripProfile, memoised per profile
+        (the runtime gate of cache.rs:297-315). None when the graph carries
+        no access metadata (everything accessible — default allow)."""
+        if self.edge_access is None or profile is None:
+            return None
+        key = profile.key()
+        m = self._access_masks.get(key)
+        if m is None:
+            from routers_spark.graph.access import access_mask
+
+            m = access_mask(self.edge_access, self.edge_fwd, profile)
+            self._access_masks[key] = m
+        return m
 
     # -------------------------------------------------------- spatial index
 
@@ -184,13 +205,15 @@ class PackedGraph:
             "node_ids": self.node_ids, "node_lon": self.node_lon,
             "node_lat": self.node_lat, "edge_id": self.edge_id,
             "edge_src": self.edge_src, "edge_dst": self.edge_dst,
-            "edge_weight": self.edge_weight,
+            "edge_weight": self.edge_weight, "edge_fwd": self.edge_fwd,
+            "edge_access": self.edge_access,
         }
 
     @classmethod
     def from_broadcastable(cls, d: dict) -> "PackedGraph":
         g = cls(d["node_ids"], d["node_lon"], d["node_lat"], d["edge_id"],
-                d["edge_src"], d["edge_dst"], d["edge_weight"])
+                d["edge_src"], d["edge_dst"], d["edge_weight"],
+                d.get("edge_fwd"), d.get("edge_access"))
         return g
 
 
@@ -210,9 +233,33 @@ def hydrate(bc, key: str) -> PackedGraph:
     return g
 
 
+def _normalize_access(col) -> list | None:
+    """Edges' optional ``access`` column → list of (mode, dir, value) triple
+    lists. Accepts dicts, pyspark Rows, or (mode, dir, value) sequences."""
+    if col is None:
+        return None
+    out = []
+    any_tags = False
+    for tags in col:
+        if tags is None or len(tags) == 0:
+            out.append(())
+            continue
+        any_tags = True
+        norm = []
+        for t in tags:
+            if isinstance(t, dict):
+                norm.append((t["mode"], t["dir"], t["value"]))
+            elif hasattr(t, "mode"):
+                norm.append((t.mode, t.dir, t.value))
+            else:
+                norm.append((t[0], t[1], t[2]))
+        out.append(tuple(norm))
+    return out if any_tags else None
+
+
 def build_packed_graph(nodes_pdf, edges_pdf) -> PackedGraph:
     """From pandas frames nodes(node_id, lon, lat),
-    edges(edge_id, src, dst, weight).
+    edges(edge_id, src, dst, weight[, fwd, access]).
 
     Edges are canonicalized to (edge_id, src, dst) order so edge_row indices
     agree with the distributed cell-join candidate generator
@@ -225,9 +272,14 @@ def build_packed_graph(nodes_pdf, edges_pdf) -> PackedGraph:
     node_lat = nodes_pdf["lat"].values[order].astype(np.float64)
     src_idx = np.searchsorted(node_ids, edges_pdf["src"].values).astype(np.int32)
     dst_idx = np.searchsorted(node_ids, edges_pdf["dst"].values).astype(np.int32)
+    fwd = (edges_pdf["fwd"].values.astype(bool)
+           if "fwd" in edges_pdf.columns else None)
+    access = (_normalize_access(edges_pdf["access"].tolist())
+              if "access" in edges_pdf.columns else None)
     return PackedGraph(
         node_ids, node_lon, node_lat,
         edges_pdf["edge_id"].values.astype(np.int64),
         src_idx, dst_idx,
         edges_pdf["weight"].values.astype(np.uint32),
+        fwd, access,
     )

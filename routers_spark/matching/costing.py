@@ -98,7 +98,10 @@ def bearing_s(lon1: float, lat1: float, lon2: float, lat2: float) -> float:
     dlon = math.radians(lon2) - math.radians(lon1)
     y = math.sin(dlon) * math.cos(rl2)
     x = math.cos(rl1) * math.sin(rl2) - math.sin(rl1) * math.cos(rl2) * math.cos(dlon)
-    return math.degrees(math.atan2(y, x)) % 360.0
+    # np.arctan2, not math.atan2: numpy's kernel differs from libm by 1 ULP
+    # on some inputs, and the batched weigher (matching/weigh.py) is the hot
+    # path — the scalar oracle follows IT so both are bit-identical.
+    return math.degrees(float(np.arctan2(y, x))) % 360.0
 
 
 def headings_scalar(lons: list[float], lats: list[float]) -> list[float]:

@@ -40,10 +40,11 @@ from routers_spark.functions.geo import (
 )
 from routers_spark.graph.dijkstra import (
     GLOBAL_PREDICATE_CACHE,
-    parent_path,
+    parent_path_pm,
 )
 from routers_spark.matching import costing
 from routers_spark.matching.trellis import Trellis, Unreachable
+from routers_spark.matching.weigh import weigh_boundaries
 
 
 @dataclass
@@ -52,6 +53,9 @@ class MatchOptions:
     emission_error: float = DEFAULT_EMISSION_ERROR_M
     selective_fanout: int | None = None  # None = AllCompute (exact, default)
     drop_unanchored: bool = False  # streaming semantics (bin/matcher.rs:143-157)
+    # runtime accessibility profile (TripProfile) gating every Dijkstra
+    # expansion (cache.rs:297-315); None = no gating (default allow)
+    profile: object | None = None
 
 
 # -------------------------------------------------------- candidate search
@@ -116,7 +120,8 @@ def _edge_heading(graph, row: int) -> float:
     return float(graph.edge_heading[row])
 
 
-def reach(graph, cache, src: dict, tgt: dict) -> tuple[str, list[int]] | None:
+def reach(graph, cache, src: dict, tgt: dict,
+          profile=None) -> tuple[str, list[int]] | None:
     """How tgt is reached from src (Expansion::reach, expansion.rs:63-97).
 
     Returns (resolution, path_edge_rows) or None when unreachable.
@@ -131,8 +136,8 @@ def reach(graph, cache, src: dict, tgt: dict) -> tuple[str, list[int]] | None:
         # same-edge backtrack falls through to routing
     root = int(graph.edge_dst[src["edge_row"]])
     leaf = int(graph.edge_src[tgt["edge_row"]])
-    parents = cache.query(graph, root)
-    nodes = parent_path(parents, root, leaf)
+    pm = cache.query(graph, root, profile)
+    nodes = parent_path_pm(pm, root, leaf)
     if nodes is None:
         return None
     path_rows = []
@@ -143,14 +148,15 @@ def reach(graph, cache, src: dict, tgt: dict) -> tuple[str, list[int]] | None:
     return ("standard", path_rows)
 
 
-def transition_cost(graph, cache, src: dict, tgt: dict) -> tuple[int, tuple] | None:
+def transition_cost(graph, cache, src: dict, tgt: dict,
+                    profile=None) -> tuple[int, tuple] | None:
     """M4: u32 transition cost for a candidate pair, or None (→ NO_EDGE).
     Also returns the (resolution, path_rows) for collapse reuse.
 
-    Scalar-math hot path: per-pair work on single values uses libm directly
-    (costing.haversine_s etc.) — numpy's length-1 ufunc overhead dominated
-    the boundary weigh otherwise."""
-    r = reach(graph, cache, src, tgt)
+    The SCALAR reference kernel: solve_trip weighs boundaries with the
+    batched twin (matching/weigh.py, bit-identical by test); this stays as
+    the per-pair oracle and the collapse hop re-derivation."""
+    r = reach(graph, cache, src, tgt, profile)
     if r is None:
         return None
     resolution, path_rows = r
@@ -221,13 +227,15 @@ def _cand(layer: dict, i: int) -> dict:
 
 def solve_trip(graph, layers: list[dict], opts: MatchOptions) -> dict:
     """Weigh + solve + collapse one trip. Returns
-    {status, breaks, path, cost, hops} where path[i] is the chosen candidate
-    index per layer and hops[i] the (resolution, path_rows) of boundary i."""
+    {status, breaks, path, cost, hops, trellis} where path[i] is the chosen
+    candidate index per layer, hops[i] the (resolution, path_rows) of
+    boundary i, and trellis the solved Trellis (reused for convergence
+    queries by the streaming matcher — one weigh per micro-batch, not two)."""
     widths = [len(l["edge_row"]) for l in layers]
     empty = [i for i, w in enumerate(widths) if w == 0]
     if empty:
         return {"status": "unanchored", "breaks": empty, "path": None,
-                "cost": None, "hops": None}
+                "cost": None, "hops": None, "trellis": None}
 
     t = Trellis([widths[0]])
     t.fill_nodes(0, layers[0]["emission"])
@@ -235,45 +243,31 @@ def solve_trip(graph, layers: list[dict], opts: MatchOptions) -> dict:
         t.add_layer(widths[k], layers[k]["emission"])
 
     cache = GLOBAL_PREDICATE_CACHE
-    for k in range(len(widths) - 1):
-        A, B = layers[k], layers[k + 1]
-        m, n = widths[k], widths[k + 1]
-        mat = np.full((m, n), np.uint32(NO_EDGE), dtype=np.uint32)
-        for i in range(m):
-            src = _cand(A, i)
-            if opts.selective_fanout is not None and n > opts.selective_fanout:
-                d = haversine_m_np(src["px"], src["py"], B["px"], B["py"])
-                sel = np.argpartition(d, opts.selective_fanout - 1)[
-                    : opts.selective_fanout
-                ]
-                targets = sel.tolist()
-            else:
-                targets = range(n)
-            for j in targets:
-                res = transition_cost(graph, cache, src, _cand(B, j))
-                if res is not None:
-                    mat[i, j] = res[0]
+    mats = weigh_boundaries(graph, cache, layers,
+                            fanout=opts.selective_fanout,
+                            profile=opts.profile)
+    for k, mat in enumerate(mats):
         if not np.all(mat == np.uint32(NO_EDGE)):
             t.fill_transition(k, mat)
 
     breaks = t.disconnections()
     if breaks:
         return {"status": "disconnected", "breaks": breaks, "path": None,
-                "cost": None, "hops": None}
+                "cost": None, "hops": None, "trellis": t}
 
     try:
         path, cost = t.solve()
     except Unreachable:
         return {"status": "unreachable", "breaks": [], "path": None,
-                "cost": None, "hops": None}
+                "cost": None, "hops": None, "trellis": t}
 
     # collapse: re-derive chosen hops from the warm cache (entity.rs:337-358)
     hops = []
     for k in range(len(path) - 1):
         hops.append(reach(graph, cache, _cand(layers[k], path[k]),
-                          _cand(layers[k + 1], path[k + 1])))
+                          _cand(layers[k + 1], path[k + 1]), opts.profile))
     return {"status": "matched", "breaks": [], "path": path, "cost": cost,
-            "hops": hops}
+            "hops": hops, "trellis": t}
 
 
 # --------------------------------------------------------------- Spark API

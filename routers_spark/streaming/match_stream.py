@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-import numpy as np
 import pandas as pd
 
 from routers_spark.config import CONTEXT_WINDOW, GAP_SECONDS
@@ -32,7 +31,7 @@ from routers_spark.matching.matcher import (
     candidates_for_point,
     solve_trip,
 )
-from routers_spark.matching.trellis import Trellis, Unreachable
+from routers_spark.matching.trellis import Unreachable
 
 
 @dataclass
@@ -106,8 +105,12 @@ class VehicleMatcherState:
             return []
         self.revision += 1
 
-        # R4 convergence cut: rebuild the solved trellis's convergence layer
-        conv = self._convergence(graph, layers, result)
+        # R4 convergence cut on the trellis solve_trip just weighed —
+        # no second boundary-weigh pass (weigh once per micro-batch)
+        try:
+            conv = result["trellis"].convergence()
+        except Unreachable:
+            conv = None
         out = []
         for k, node in enumerate(result["path"]):
             ts = ts_kept[k]
@@ -128,35 +131,6 @@ class VehicleMatcherState:
             self.emitted_through = max(self.emitted_through, cut_ts)
         return out
 
-    @staticmethod
-    def _convergence(graph, layers, result):
-        from routers_spark.graph.dijkstra import GLOBAL_PREDICATE_CACHE
-        from routers_spark.matching.matcher import _cand, transition_cost
-        from routers_spark.config import NO_EDGE
-
-        widths = [len(l["edge_row"]) for l in layers]
-        t = Trellis([widths[0]])
-        t.fill_nodes(0, layers[0]["emission"])
-        for k in range(1, len(widths)):
-            t.add_layer(widths[k], layers[k]["emission"])
-        for k in range(len(widths) - 1):
-            m = np.full((widths[k], widths[k + 1]), np.uint32(NO_EDGE),
-                        dtype=np.uint32)
-            for i in range(widths[k]):
-                for j in range(widths[k + 1]):
-                    r = transition_cost(graph, GLOBAL_PREDICATE_CACHE,
-                                        _cand(layers[k], i),
-                                        _cand(layers[k + 1], j))
-                    if r is not None:
-                        m[i, j] = r[0]
-            if not np.all(m == np.uint32(NO_EDGE)):
-                t.fill_transition(k, m)
-        try:
-            return t.convergence()
-        except Unreachable:
-            return None
-
-
 OUTPUT_SCHEMA = (
     "vehicle_id long, ts_us long, edge_id long, matched_lon double, "
     "matched_lat double, revision long, final boolean"
@@ -174,9 +148,10 @@ def match_stream(events_df, nodes_df, edges_df,
     layers with revision + finality. Partitioning uses the stable splitmix
     contract, not Spark's default hash (O13)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from routers_spark.functions.hashing import partition_of_sql
+    from routers_spark.functions.hashing import partition_of_np
     from routers_spark.graph.packed import build_packed_graph, hydrate
     import uuid
 
@@ -208,8 +183,15 @@ def match_stream(events_df, nodes_df, edges_df,
             out.insert(0, "vehicle_id", vehicle)
             yield out
 
+    # stable splitmix partition via the pinned numpy kernel — NOT the SQL
+    # wrapping-multiply form, which raises under a vanilla ANSI-on session
+    # (the Arrow UDF wraps in uint64 regardless of session conf)
+    @pandas_udf("long")
+    def part_of(v: pd.Series) -> pd.Series:
+        return pd.Series(partition_of_np(v.values).astype("int64"))
+
     keyed = events_df.withColumn(
-        "part", F.expr(partition_of_sql("vehicle_id", "spark"))
+        "part", part_of(F.col("vehicle_id"))
     ).repartition("part")
     return keyed.groupBy("vehicle_id").applyInPandasWithState(
         update, outputStructType=OUTPUT_SCHEMA, stateStructType=STATE_SCHEMA,
