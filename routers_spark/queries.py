@@ -382,6 +382,97 @@ FROM r WHERE rn = 1
 """
 
 
+_ACCESS_MODES1 = ["all", "vehicle", "motor_vehicle", "motorcar",
+                  "foot", "hgv", "psv", "bicycle"]
+_ACCESS_DIRS = ["both", "forward", "backward"]
+_ACCESS_VALS1 = ["no", "yes", "private", "destination"]
+_ACCESS_MODES2 = ["motor_vehicle", "all", "goods"]
+# specificity = hierarchy chain length (transport.rs:429)
+_ACCESS_SPEC = {"all": 1, "vehicle": 2, "motor_vehicle": 3, "motorcar": 4,
+                "foot": 2, "hgv": 5, "psv": 4, "bicycle": 3, "goods": 4}
+_CAR_CHAIN = ("all", "vehicle", "motor_vehicle", "motorcar")
+_HGV_CHAIN = ("all", "vehicle", "motor_vehicle", "goods", "hgv")
+
+
+@sql_query("access_eval")
+def _q_access(dialect: str) -> str:
+    """Runtime accessibility evaluation (mod.rs:200-231): synthetic access
+    tags derived from event_id, verdicts for motorcar and hgv profiles.
+    The Spark side runs the engine's Python evaluator
+    (routers_spark.graph.access.accessible) via the override below; this
+    SQL is an INDEPENDENT implementation of the same semantics
+    (most-specific mode wins, later tag wins spec ties, directionality,
+    default allow)."""
+    def lit_case(expr: str, items: list[str]) -> str:
+        ws = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(items))
+        return f"(CASE ({expr}) {ws} END)"
+
+    spec = ("(CASE {m} " + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _ACCESS_SPEC.items()) + " END)")
+
+    def verdict(chain: tuple, col: str) -> str:
+        inset = ", ".join(f"'{m}'" for m in chain)
+        app1 = (f"(m1 IN ({inset}) AND (d1 = 'both' OR "
+                f"(d1 = 'forward' AND fwd = 1) OR "
+                f"(d1 = 'backward' AND fwd = 0)))")
+        app2 = f"(has2 = 1 AND m2 IN ({inset}))"
+        s1 = spec.format(m="m1")
+        s2 = spec.format(m="m2")
+        chosen = (f"(CASE WHEN {app2} AND (NOT {app1} OR {s2} >= {s1}) THEN v2 "
+                  f"WHEN {app1} THEN v1 ELSE NULL END)")
+        return (f"CAST(CASE WHEN {chosen} IS NULL THEN 1 "
+                f"WHEN {chosen} = 'yes' THEN 1 ELSE 0 END AS BIGINT) AS {col}")
+
+    tags = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       {lit_case("event_id % 8", _ACCESS_MODES1)} AS m1,
+       {lit_case("event_id % 3", _ACCESS_DIRS)} AS d1,
+       {lit_case("event_id % 4", _ACCESS_VALS1)} AS v1,
+       CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS fwd,
+       CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS has2,
+       {lit_case("event_id % 3", _ACCESS_MODES2)} AS m2,
+       CASE WHEN event_id % 2 = 0 THEN 'yes' ELSE 'no' END AS v2
+FROM events"""
+    return (f"WITH tags AS ({tags})\n"
+            f"SELECT event_id, {verdict(_CAR_CHAIN, 'ok_car')}, "
+            f"{verdict(_HGV_CHAIN, 'ok_hgv')} FROM tags")
+
+
+def _access_eval_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of access_eval: the ENGINE evaluator (graph/access.py)
+    over the same synthetic tags — proves the Python semantics against the
+    independent SQL oracle."""
+    import pandas as pd
+
+    from routers_spark.graph.access import TripProfile, accessible
+
+    register_views(spark, sf_dir)
+    df = spark.sql("SELECT /*+ REPARTITION(32) */ CAST(event_id AS BIGINT)"
+                   " AS event_id FROM events")
+    car = TripProfile("motorcar")
+    hgv = TripProfile("hgv")
+
+    def kernel(batches):
+        for pdf in batches:
+            eid = pdf["event_id"].values
+            ok_car, ok_hgv = [], []
+            for e in eid:
+                e = int(e)
+                tags = [(_ACCESS_MODES1[e % 8], _ACCESS_DIRS[e % 3],
+                         _ACCESS_VALS1[e % 4])]
+                if e % 5 == 0:
+                    tags.append((_ACCESS_MODES2[e % 3], "both",
+                                 "yes" if e % 2 == 0 else "no"))
+                fwd = e % 2 == 0
+                ok_car.append(int(accessible(tags, car, fwd)))
+                ok_hgv.append(int(accessible(tags, hgv, fwd)))
+            yield pd.DataFrame({"event_id": eid, "ok_car": ok_car,
+                                "ok_hgv": ok_hgv})
+
+    return df.mapInPandas(kernel,
+                          "event_id bigint, ok_car bigint, ok_hgv bigint")
+
+
 # ------------------------------------------------------- relational baseline
 
 
@@ -833,6 +924,7 @@ def _knn_spark_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_nearest_station": _knn_spark_materialized,
+    "access_eval": _access_eval_spark,
 }
 
 
