@@ -403,43 +403,99 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
         shuffle once on trip_id (the only wide dependency) and candidate
         generation + solving happen per group against the executor-resident
         index. Right when the graph fits a broadcast (the north-rule shape).
-      - "celljoin": candidate generation runs as a distributed padded
-        cell-cover equi-join (shard/partition.py) — the scale path when the
-        corpus is huge and you want Catalyst/AQE managing the join (salting
-        via ``salt``); the solver then shuffles candidates on trip_id. Both
-        paths produce identical matches (tie-breaks share the canonical
-        edge_row order).
+      - "celljoin": the NO-BROADCAST scale path — candidate generation runs
+        as a distributed padded cell-cover equi-join (shard/partition.py,
+        salting via ``salt``), and each trip's solver receives its OWN road
+        subgraph (every edge within Dijkstra-bound + search of the trip,
+        P4/P5 admit semantics) through a trip_id cogroup. The global graph
+        is never collected to the driver and never broadcast. Both paths
+        produce identical matches (tie-breaks share the canonical edge_row
+        order; a sorted subset preserves it — tests/test_celljoin.py).
     """
     opts = opts or MatchOptions()
-    spark = points_df.sparkSession
-    from routers_spark.graph.packed import build_packed_graph, hydrate
-
-    import uuid
-
-    g = build_packed_graph(nodes_df.toPandas(), edges_df.toPandas())
-    bc = spark.sparkContext.broadcast(g.to_broadcastable())
-    bc_key = uuid.uuid4().hex
-
     schema = DISCRETIZED_SCHEMA if output == "discretized" else INTERPOLATED_SCHEMA
 
     if candidate_path == "broadcast":
+        import uuid
+
+        from routers_spark.graph.packed import build_packed_graph, hydrate
+
+        spark = points_df.sparkSession
+        g = build_packed_graph(nodes_df.toPandas(), edges_df.toPandas())
+        bc = spark.sparkContext.broadcast(g.to_broadcastable())
+        bc_key = uuid.uuid4().hex
+
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             return _solve_pdf(pdf, hydrate(bc, bc_key), opts, output)
 
         return points_df.groupBy("trip_id").applyInPandas(run, schema=schema)
 
-    from routers_spark.shard.partition import candidates_cell_join
+    from routers_spark.config import DIJKSTRA_BOUND_CM
+    from routers_spark.shard.partition import (
+        candidates_cell_join,
+        trip_subgraph_edges,
+    )
 
     cand = candidates_cell_join(
         points_df, nodes_df, edges_df,
         search_m=opts.search_distance, emission_error=opts.emission_error,
         salt=salt,
     )
+    # pad: bound (cm→m) + search + equirectangular slop so every bounded
+    # Dijkstra expansion from any candidate stays inside the subgraph
+    pad_m = DIJKSTRA_BOUND_CM / 100.0 + opts.search_distance * 1.5 + 50.0
+    sub = trip_subgraph_edges(points_df, nodes_df, edges_df, pad_m=pad_m)
 
-    def run_cand(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _solve_candidates_pdf(pdf, hydrate(bc, bc_key), opts, output)
+    def run_cog(cand_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _solve_cogroup_pdf(cand_pdf, edges_pdf, opts, output)
 
-    return cand.groupBy("trip_id").applyInPandas(run_cand, schema=schema)
+    return (
+        cand.groupBy("trip_id")
+        .cogroup(sub.groupBy("trip_id"))
+        .applyInPandas(run_cog, schema=schema)
+    )
+
+
+def _solve_cogroup_pdf(cand_pdf: pd.DataFrame, edges_pdf: pd.DataFrame,
+                       opts: MatchOptions, output: str) -> pd.DataFrame:
+    """Solve one trip against its own padded subgraph (celljoin stage B/C):
+    build a local PackedGraph from the cogrouped edge rows, remap the
+    candidates' global edge_row indices to local ones (order-preserving:
+    both sides sort by (edge_id, src, dst)), and solve. R6 analog: a
+    candidate edge missing from the subgraph (impossible when the padding
+    covers the bound; defensive for skew in the equirectangular pad) is
+    dropped — it could never carry a transition."""
+    if len(cand_pdf) == 0:
+        # schema-typed empty frame
+        return _status_row("", "unanchored", output).iloc[0:0]
+    trip_id = cand_pdf["trip_id"].iloc[0]
+    if len(edges_pdf) == 0:
+        return _status_row(trip_id, "unanchored", output)
+
+    from routers_spark.graph.packed import build_packed_graph
+
+    edges_pdf = edges_pdf.sort_values("edge_row", kind="stable")
+    nodes_local = pd.DataFrame({
+        "node_id": np.concatenate([edges_pdf["src"].values,
+                                   edges_pdf["dst"].values]),
+        "lon": np.concatenate([edges_pdf["ax"].values, edges_pdf["bx"].values]),
+        "lat": np.concatenate([edges_pdf["ay"].values, edges_pdf["by"].values]),
+    }).drop_duplicates("node_id")
+    g = build_packed_graph(
+        nodes_local, edges_pdf[["edge_id", "src", "dst", "weight"]])
+
+    # global edge_row -> local row: local order == relative global order
+    global_rows = edges_pdf["edge_row"].values.astype(np.int64)
+    cand_pdf = cand_pdf.copy()
+    cr = cand_pdf["edge_row"].values.astype(np.int64)
+    pos = np.searchsorted(global_rows, cr)
+    pos_c = np.minimum(pos, len(global_rows) - 1)
+    present = (cr >= 0) & (pos < len(global_rows)) & (global_rows[pos_c] == cr)
+    cand_pdf["edge_row"] = np.where(present, pos_c, -1)
+    cand_pdf = cand_pdf[present | (cr < 0)]
+    if len(cand_pdf) == 0:
+        return _status_row(trip_id, "unanchored", output)
+    return _solve_candidates_pdf(cand_pdf, g, opts, output)
 
 
 def _solve_candidates_pdf(pdf: pd.DataFrame, graph, opts: MatchOptions,

@@ -82,6 +82,46 @@ CANDIDATE_SCHEMA = (
 )
 
 
+def edges_with_rows(edges_df: DataFrame) -> DataFrame:
+    """Edges with the canonical per-directed-edge index: rank over
+    (edge_id, src, dst) — build_packed_graph sorts identically, so candidate
+    ordering (and thus trellis tie-breaks) agrees across every candidate
+    generator and every subgraph (a sorted subset preserves relative
+    order)."""
+    from pyspark.sql.window import Window
+
+    cols = ["edge_id", "src", "dst", "weight"]
+    return edges_df.select(*cols).withColumn(
+        "edge_row",
+        F.row_number().over(Window.orderBy("edge_id", "src", "dst")) - 1,
+    )
+
+
+def trip_subgraph_edges(points_df: DataFrame, nodes_df: DataFrame,
+                        edges_df: DataFrame, pad_m: float,
+                        cell_deg: float = 0.02) -> DataFrame:
+    """Per-trip road subgraph: every edge whose ``pad_m``-padded bbox shares
+    a coarse cell with any of the trip's points — the shard-build admit rule
+    (P4/P5, selection.rs:52-96 / network.rs:110-169) applied per trip. With
+    pad_m ≥ Dijkstra bound + search distance, every transition path of the
+    trip lies inside the subgraph, so the solver needs NO global broadcast.
+
+    Output: (trip_id, edge_id, edge_row, src, dst, weight, ax, ay, bx, by),
+    deduplicated per (trip_id, edge_row). The coarse ``cell_deg`` (~2.2 km)
+    keeps the edge-cover explosion factor ~O((2·pad/cell)²) ≈ 9."""
+    base = edges_with_rows(edges_df)
+    cover = edges_with_cover_cells(base, nodes_df, cell_deg, pad_m=pad_m)
+    tcells = point_cells(
+        points_df.select("trip_id", "lon", "lat"), cell_deg
+    ).select("trip_id", "cx", "cy").distinct()
+    return (
+        tcells.join(cover, ["cx", "cy"])
+        .select("trip_id", "edge_id", "edge_row", "src", "dst", "weight",
+                "ax", "ay", "bx", "by")
+        .dropDuplicates(["trip_id", "edge_row"])
+    )
+
+
 def candidates_cell_join(points_df: DataFrame, nodes_df: DataFrame,
                          edges_df: DataFrame,
                          search_m: float = DEFAULT_SEARCH_DISTANCE_M,
@@ -99,16 +139,7 @@ def candidates_cell_join(points_df: DataFrame, nodes_df: DataFrame,
     ``salt`` sub-keys and each point picks one pseudo-randomly — the
     explicit skew-handling knob (north rule) on top of AQE's skew splits.
     """
-    # edge_row is the canonical per-directed-edge index shared with the
-    # broadcast path: rank over (edge_id, src, dst) — build_packed_graph
-    # sorts identically, so candidate ordering (and thus trellis tie-breaks)
-    # agree across both candidate generators.
-    from pyspark.sql.window import Window
-
-    base = edges_df.select("edge_id", "src", "dst", "weight").withColumn(
-        "edge_row",
-        F.row_number().over(Window.orderBy("edge_id", "src", "dst")) - 1,
-    )
+    base = edges_with_rows(edges_df)
     edges_cover = edges_with_cover_cells(
         base, nodes_df, cell_deg, pad_m=search_m * 1.5 + 10.0
     )

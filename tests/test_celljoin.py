@@ -65,3 +65,20 @@ def test_celljoin_candidate_sets_match_boxquery(spark, inputs):
             np.testing.assert_allclose(dist["px"].values, local["px"], atol=1e-12)
             np.testing.assert_array_equal(dist["emission"].values,
                                           local["emission"].astype(np.int64))
+
+
+def test_celljoin_never_collects_graph(spark, inputs, monkeypatch):
+    """The celljoin path's stated purpose is graphs too big to broadcast:
+    no driver-side DataFrame collect may happen anywhere in its plan
+    construction or execution (the solver gets per-trip subgraphs via
+    cogroup instead)."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    points_df, nodes_df, edges_df = inputs
+
+    def guard(self):
+        raise AssertionError("driver-side collect in celljoin path")
+
+    monkeypatch.setattr(SparkDF, "toPandas", guard)
+    out = match_trips(points_df, nodes_df, edges_df, candidate_path="celljoin")
+    assert out.count() > 0  # executes end-to-end without any toPandas
