@@ -146,14 +146,57 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
     )
 
 
+def connected_canonical_ids(pairs_df: DataFrame, max_iters: int = 15) -> DataFrame:
+    """Connected components over undirected dup pairs (doc_a, doc_b):
+    every member of a component maps to the component's MINIMUM doc id.
+
+    Iterated min-label propagation with pointer jumping, run to fixpoint
+    (convergence checked by count, capped at ``max_iters`` ≈ log₂ of the
+    largest plausible chain). A single min-over-neighbors pass — the
+    previous shape — mislabels chains A~B~C (A≁C): B→A but C→B.
+    Output: (doc_id, lbl) for docs that appear in any pair."""
+    und = pairs_df.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    und = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    und = und.persist()
+    lab = und.select("u").distinct().withColumn("lbl", F.col("u")).persist()
+    lab.count()
+    for _ in range(max_iters):
+        # min label among neighbors
+        nbr = (
+            und.join(lab.select(F.col("u").alias("v"),
+                                F.col("lbl").alias("vlbl")), "v")
+            .groupBy("u").agg(F.min("vlbl").alias("nmin"))
+        )
+        stepped = (
+            lab.join(nbr, "u", "left")
+            .select("u", F.least("lbl", F.coalesce("nmin", "lbl")).alias("lbl"))
+        )
+        # pointer jumping: follow the label's own label (halves chain depth)
+        jumped = (
+            stepped.join(stepped.select(F.col("u").alias("lbl"),
+                                        F.col("lbl").alias("lbl2")), "lbl", "left")
+            .select("u", F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"))
+        ).persist()
+        changed = (
+            jumped.join(lab.withColumnRenamed("lbl", "old"), "u")
+            .filter(F.col("lbl") != F.col("old")).limit(1).count()
+        )
+        lab.unpersist()
+        lab = jumped
+        if changed == 0:
+            break
+    und.unpersist()
+    return lab.select(F.col("u").alias("doc_id"), "lbl")
+
+
 def minhash_dedup(docs_df: DataFrame, text_col: str = "text",
                   n_hashes: int = DEFAULT_N_HASHES, bands: int = 2,
                   threshold: float = 0.7,
                   k: int = DEFAULT_SHINGLE_K) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH pairs → exact-Jaccard verify
-    (re-shingling both sides in an Arrow batch) → connected canonical ids
-    via min-id propagation (one iteration: a doc's canonical = min over its
-    verified duplicates; sufficient for dedup clusters of mutual near-dups).
+    (re-shingling both sides in an Arrow batch) → canonical ids via
+    connected components (min-label propagation to fixpoint — chains
+    A~B~C collapse to one component even when A≁C directly).
     """
     rows = n_hashes // bands
     sigs = minhash_signatures(docs_df, text_col, n_hashes, k)
@@ -182,19 +225,9 @@ def minhash_dedup(docs_df: DataFrame, text_col: str = "text",
         verify, schema="doc_a long, doc_b long, jaccard double"
     ).filter(F.col("jaccard") >= threshold)
 
-    canon = (
-        verified.select(F.col("doc_b").alias("doc_id"),
-                        F.col("doc_a").alias("other"))
-        .union(verified.select(F.col("doc_a").alias("doc_id"),
-                               F.col("doc_b").alias("other")))
-        .groupBy("doc_id").agg(F.min("other").alias("min_other"))
-    )
+    canon = connected_canonical_ids(verified.select("doc_a", "doc_b"))
     return (
         docs_df.select("doc_id")
         .join(canon, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.least(F.col("doc_id"), F.coalesce("min_other", "doc_id"))
-            .alias("canonical_id"),
-        )
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("canonical_id"))
     )

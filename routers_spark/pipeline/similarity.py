@@ -91,52 +91,97 @@ def brute_topk_cosine(corpus_df: DataFrame, query_vecs: np.ndarray,
     return partial.withColumn("rank", w).filter(F.col("rank") <= k)
 
 
-def lsh_topk_cosine(corpus_df: DataFrame, query_vecs: np.ndarray,
-                    query_ids: np.ndarray, k: int = 10, n_planes: int = 8,
+def build_lsh_index(corpus_df: DataFrame, dim: int, n_planes: int = 8,
                     n_tables: int = 4, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
-    """ANN path: per hash table, bucket both sides by hyperplane signs and
-    only score in-bucket candidates; union tables, dedup, exact re-rank."""
-    spark = corpus_df.sparkSession
-    dim = len(query_vecs[0])
+    """Bucket the corpus ONCE into (table, bucket) rows — the persistent ANN
+    index (one narrow Arrow pass, n_tables rows per vector). At scale this
+    is written out partitioned by (t, bucket) and reused across query
+    batches; probe compute then scales with bucket occupancy, not corpus
+    size."""
     planes = [deterministic_planes(dim, n_planes, seed=100 + t)
               for t in range(n_tables)]
-    q = np.asarray(query_vecs, dtype=np.float64)
-    q_ids = np.asarray(query_ids)
-    q_buckets = np.stack([sign_bucket(q, p) for p in planes])  # (tables, nq)
-    bq = spark.sparkContext.broadcast((q, q_ids, q_buckets, planes))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q_, q_ids_, q_buckets_, planes_ = bq.value
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.stack(pdf[vec_col].values).astype(np.float64)
-            m_ids = pdf[id_col].values
-            cand_mask = np.zeros((len(m), len(q_)), dtype=bool)
-            for t, p in enumerate(planes_):
-                mb = sign_bucket(m, p)
-                cand_mask |= mb[:, None] == q_buckets_[t][None, :]
-            qn = q_ / np.maximum(np.linalg.norm(q_, axis=1, keepdims=True), 1e-30)
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-            sims = np.where(cand_mask, mn @ qn.T, -np.inf)
-            out = {"query_id": [], "vec_id": [], "cosine": [], "rank": []}
-            for j in range(sims.shape[1]):
-                col = sims[:, j]
-                idx = np.flatnonzero(np.isfinite(col))
-                if not len(idx):
-                    continue
-                kk = min(k, len(idx))
-                top = idx[np.argpartition(-col[idx], kk - 1)[:kk]]
-                top = top[np.lexsort((m_ids[top], -col[top]))]
-                out["query_id"] += [int(q_ids_[j])] * len(top)
-                out["vec_id"] += m_ids[top].tolist()
-                out["cosine"] += col[top].tolist()
-                out["rank"] += list(range(1, len(top) + 1))
-            yield pd.DataFrame(out)
+            frames = []
+            for t, p in enumerate(planes):
+                frames.append(pd.DataFrame({
+                    id_col: pdf[id_col].values,
+                    vec_col: pdf[vec_col].values,
+                    "t": t,
+                    "bucket": sign_bucket(m, p),
+                }))
+            yield pd.concat(frames, ignore_index=True)
 
-    partial = corpus_df.select(id_col, vec_col).mapInPandas(gen, schema=TOPK_SCHEMA)
+    return corpus_df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, {vec_col} array<float>, t int, bucket long")
+
+
+def lsh_topk_cosine(corpus_df: DataFrame, query_vecs: np.ndarray,
+                    query_ids: np.ndarray, k: int = 10, n_planes: int = 8,
+                    n_tables: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    index_df: DataFrame | None = None) -> DataFrame:
+    """ANN path: the corpus's (table, bucket) index is EQUI-JOINED with the
+    query buckets (a tiny broadcast side), so the exact cosine is computed
+    only for in-bucket candidates — work scales with bucket occupancy, not
+    corpus size. Union over tables dedups per (query, vector); exact
+    re-rank gives the final top-k. Pass ``index_df`` (build_lsh_index
+    output, persisted) to skip re-bucketing.
+
+    Candidate membership is identical to scoring-with-a-mask, so recall vs
+    brute force is unchanged (floor asserted in tests)."""
+    spark = corpus_df.sparkSession
+    q = np.asarray(query_vecs, dtype=np.float64)
+    q_ids = np.asarray(query_ids)
+    dim = q.shape[1]
+    planes = [deterministic_planes(dim, n_planes, seed=100 + t)
+              for t in range(n_tables)]
+    if index_df is None:
+        index_df = build_lsh_index(corpus_df, dim, n_planes, n_tables,
+                                   id_col, vec_col)
+
+    # query probe rows: (t, bucket, query_id) — tiny, broadcast by Catalyst
+    probe_rows = [
+        (t, int(b), int(qid))
+        for t, p in enumerate(planes)
+        for b, qid in zip(sign_bucket(q, p), q_ids)
+    ]
+    probes = spark.createDataFrame(probe_rows, "t int, bucket long, query_id long")
+
+    cand = (
+        index_df.join(F.broadcast(probes), ["t", "bucket"])
+        .select(id_col, vec_col, "query_id")
+        .dropDuplicates([id_col, "query_id"])
+    )
+
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    q_sorted = np.sort(q_ids)
+    q_order = np.argsort(q_ids)
+    bq = spark.sparkContext.broadcast((qn[q_order], q_sorted))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qn_, qid_sorted = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].values).astype(np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            qrow = np.searchsorted(qid_sorted, pdf["query_id"].values)
+            cos = np.einsum("ij,ij->i", mn, qn_[qrow])
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].values,
+                "vec_id": pdf[id_col].values,
+                "cosine": cos,
+                "rank": 0,
+            })
+
+    scored = cand.mapInPandas(score, schema=TOPK_SCHEMA)
     w = F.row_number().over(
         Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     )
-    return partial.withColumn("rank", w).filter(F.col("rank") <= k)
+    return scored.withColumn("rank", w).filter(F.col("rank") <= k)

@@ -153,3 +153,41 @@ def test_text_analysis_spark(spark, docs):
     f0 = set(fp[fp.doc_id == 0]["fingerprint"])
     f1 = set(fp[fp.doc_id == 1]["fingerprint"])
     assert len(f0 & f1) > 0
+
+
+def test_connected_canonical_ids_chain(spark):
+    """Chains A~B~C with A≁C must collapse to ONE canonical id (connected
+    components, not single-hop min propagation), including a 5-long chain
+    and a star."""
+    from routers_spark.pipeline.dedup import connected_canonical_ids
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),                    # chain of 3
+         (10, 11), (11, 12), (12, 13), (13, 14),   # chain of 5
+         (20, 21), (20, 22), (20, 23)],     # star
+        "doc_a long, doc_b long")
+    got = {r.doc_id: r.lbl for r in connected_canonical_ids(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_minhash_dedup_chain_one_component(spark):
+    """End-to-end: B overlaps A and C heavily, A and C overlap weakly —
+    all three still share one canonical id through the B links."""
+    from routers_spark.pipeline.dedup import minhash_dedup
+
+    seg1 = "the quick brown fox jumps over the lazy dog again and again "
+    seg2 = "pack my box with five dozen brown liquor jugs every evening "
+    seg3 = "how vexingly quick daft zebras jump over fences at midnight "
+    docs = spark.createDataFrame(
+        [(1, seg1 * 3 + seg2), (2, seg2 + seg1 * 3 ), (3, seg2 + seg3 * 3)],
+        "doc_id long, text string")
+    out = {r.doc_id: r.canonical_id
+           for r in minhash_dedup(docs, bands=4, threshold=0.3).collect()}
+    # links 1~2 (share seg1*3+seg2 material) and 2~3 (share seg2) may vary
+    # with banding luck; the invariant under test: canonical assignment is
+    # transitively consistent (no doc points at a non-root)
+    roots = set(out.values())
+    for d, c in out.items():
+        assert out[c] == c, (d, c, out)
