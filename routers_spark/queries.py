@@ -292,34 +292,74 @@ FROM best
 """
 
 
+# concave hexagon-ish ring in the synthetic bbox (lon, lat)
+_PIP_RING = [
+    (-118.50, 33.75), (-118.30, 33.72), (-118.20, 33.90),
+    (-118.35, 33.85), (-118.40, 34.00), (-118.55, 33.95),
+]
+_PIP_RING2 = [  # axis-aligned box overlapping the hexagon's east side
+    (-118.30, 33.80), (-118.10, 33.80), (-118.10, 33.98), (-118.30, 33.98),
+]
+
+
+def _ray_cast_sql(ring: list[tuple], px: str, py: str) -> str:
+    """Crossing-number test unrolled over a fixed ring — boolean SQL expr."""
+    terms = []
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1}e0 > {py}) != ({y2}e0 > {py})) AND "
+            f"({px} < {x1}e0 + ({py} - {y1}e0) * ({x2}e0 - {x1}e0) / ({y2}e0 - {y1}e0)) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return f"((({' + '.join(terms)}) % 2) = 1)"
+
+
 @sql_query("zone_assign_pip")
 def _q_pip(dialect: str) -> str:
     """Vectorized ray-cast point-in-polygon zone assignment (tz basic
     backend semantics, storage/basic.rs:27-41) — crossing-number test
     unrolled over a fixed concave test ring."""
-    # concave hexagon-ish ring in the synthetic bbox (lon, lat)
-    ring = [
-        (-118.50, 33.75), (-118.30, 33.72), (-118.20, 33.90),
-        (-118.35, 33.85), (-118.40, 34.00), (-118.55, 33.95),
-    ]
-    terms = []
-    px, py = EVENT_LON, EVENT_LAT
-    n = len(ring)
-    for i in range(n):
-        x1, y1 = ring[i]
-        x2, y2 = ring[(i + 1) % n]
-        cross = (
-            f"(CASE WHEN (({y1}e0 > {py}) != ({y2}e0 > {py})) AND "
-            f"({px} < {x1}e0 + ({py} - {y1}e0) * ({x2}e0 - {x1}e0) / ({y2}e0 - {y1}e0)) "
-            f"THEN 1 ELSE 0 END)"
-        )
-        terms.append(cross)
-    inside = f"((({' + '.join(terms)}) % 2) = 1)"
+    inside = _ray_cast_sql(_PIP_RING, EVENT_LON, EVENT_LAT)
     return f"""
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(CASE WHEN {inside} THEN 1 ELSE 0 END AS BIGINT) AS in_zone
 FROM (SELECT /*+ REPARTITION(32) */ event_id FROM events)
 """
+
+
+@sql_query("zone_assign_cells")
+def _q_zone_cells(dialect: str) -> str:
+    """Cell-covering zone lookup (the S2-cell tz backend analog,
+    storage/s2cell.rs:38-56): the Spark side answers through the quadtree
+    cell index (zones/cells.py, interior-direct + boundary-refine); this
+    oracle is the plain first-match ray-cast over the same two overlapping
+    rings — the backends must agree byte-for-byte."""
+    in1 = _ray_cast_sql(_PIP_RING, EVENT_LON, EVENT_LAT)
+    in2 = _ray_cast_sql(_PIP_RING2, EVENT_LON, EVENT_LAT)
+    return f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CASE WHEN {in1} THEN 'hex' WHEN {in2} THEN 'box' ELSE NULL END AS zone_id
+FROM (SELECT /*+ REPARTITION(32) */ event_id FROM events)
+"""
+
+
+def _zone_cells_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of zone_assign_cells: the ENGINE cell-index backend over
+    the synthetic event points (lon/lat derived with the same IEEE-double
+    arithmetic as the SQL)."""
+    register_views(spark, sf_dir)
+    pts = spark.sql(
+        f"SELECT /*+ REPARTITION(32) */ CAST(event_id AS BIGINT) AS event_id,"
+        f" {EVENT_LON} AS lon, {EVENT_LAT} AS lat FROM events")
+    from routers_spark.zones.cells import assign_zones_cells
+
+    zones = [{"zone_id": "hex", "ring": _PIP_RING},
+             {"zone_id": "box", "ring": _PIP_RING2}]
+    out = assign_zones_cells(pts, zones, keep=["event_id"])
+    return out.select("event_id", "zone_id")
 
 
 @sql_query("bearing_heading")
@@ -925,6 +965,7 @@ def _knn_spark_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_nearest_station": _knn_spark_materialized,
     "access_eval": _access_eval_spark,
+    "zone_assign_cells": _zone_cells_spark,
 }
 
 
