@@ -34,6 +34,28 @@ from routers_spark.matching.matcher import (
 from routers_spark.matching.trellis import Unreachable
 
 
+def reconcile(persisted: list[tuple[int, float, float]] | None,
+              history: list[tuple[int, float, float]]):
+    """R5 Continuation::reconcile (continuation.rs:32-57): a persisted
+    trip's observations vs the committed history (chronological, oldest
+    first). Overlap = the LARGEST k with ``persisted[-k:] == history[:k]``
+    — exact Origin equality, timestamp AND position: a layer sharing a
+    timestamp but not a position was solved against contradicted data and
+    must not resume.
+
+    Returns ('resume', kept_suffix, fresh) — the trip trimmed to the
+    overlap (trip.tail(overlap)) plus the unseen observations — or
+    ('restart', [], history) when nothing overlaps."""
+    if not persisted:
+        return ("restart", [], list(history))
+    bound = min(len(persisted), len(history))
+    for k in range(bound, 0, -1):  # (0..=bound).rev().find
+        if persisted[len(persisted) - k:] == list(history[:k]):
+            return ("resume", list(persisted[len(persisted) - k:]),
+                    list(history[k:]))
+    return ("restart", [], list(history))
+
+
 @dataclass
 class VehicleMatcherState:
     """Per-vehicle streaming state: retained raw observations + solve
@@ -43,6 +65,7 @@ class VehicleMatcherState:
     last_ts: int = -1
     revision: int = 0
     emitted_through: int = -1  # last finalized ts (convergence watermark)
+    graph_key: str = ""  # graph epoch the state last solved against (R6)
 
     def to_tuple(self):
         return (
@@ -50,19 +73,47 @@ class VehicleMatcherState:
             self.last_ts,
             self.revision,
             self.emitted_through,
+            self.graph_key,
         )
 
     @classmethod
     def from_tuple(cls, t):
-        return cls([tuple(h) for h in t[0]], t[1], t[2], t[3])
+        return cls([tuple(h) for h in t[0]], t[1], t[2], t[3],
+                   t[4] if len(t) > 4 else "")
+
+    def reconcile_with(self, history: list[tuple[int, float, float]]):
+        """Apply R5 against a committed history: on resume the retained
+        window trims to the overlap; on restart the state is cleared.
+        Returns the fresh observations to feed :meth:`process`."""
+        kind, kept, fresh = reconcile(self.history, history)
+        self.history = kept
+        if kind == "restart":
+            self.last_ts = -1
+            self.emitted_through = -1
+        else:
+            self.last_ts = kept[-1][0] if kept else -1
+        return fresh
 
     def process(self, graph, observations: list[tuple[int, float, float]],
                 opts: MatchOptions | None = None,
                 gap_seconds: int = GAP_SECONDS,
-                context_window: int = CONTEXT_WINDOW) -> list[dict]:
+                context_window: int = CONTEXT_WINDOW,
+                graph_key: str = "") -> list[dict]:
         """Feed (ts_us, lon, lat) observations; returns emitted layer rows
-        {ts_us, edge_id, matched_lon, matched_lat, revision, final}."""
+        {ts_us, edge_id, matched_lon, matched_lat, revision, final,
+        downgraded}.
+
+        R6 foreign-shard downgrade (matcher/entity.rs:253-258,
+        bin/matcher.rs:126-132): when the state last solved against a
+        DIFFERENT graph epoch, the solve restarts from the raw origins —
+        which is exactly what this state machine always does (it retains
+        only raw observations, never graph-entity references), so the only
+        observable effect is the emitted rows carrying ``downgraded=True``."""
         opts = opts or MatchOptions(drop_unanchored=True)
+        downgraded = bool(self.graph_key and graph_key
+                          and self.graph_key != graph_key)
+        if graph_key:
+            self.graph_key = graph_key
 
         fresh = []
         for ts, lon, lat in sorted(observations):
@@ -122,6 +173,7 @@ class VehicleMatcherState:
                 "matched_lat": float(layers[k]["py"][node]),
                 "revision": self.revision,
                 "final": bool(final),
+                "downgraded": downgraded,
             })
         if conv is not None and conv > 0:
             # truncate state behind the convergence point (keep the
@@ -133,11 +185,11 @@ class VehicleMatcherState:
 
 OUTPUT_SCHEMA = (
     "vehicle_id long, ts_us long, edge_id long, matched_lon double, "
-    "matched_lat double, revision long, final boolean"
+    "matched_lat double, revision long, final boolean, downgraded boolean"
 )
 STATE_SCHEMA = (
     "history array<array<double>>, last_ts long, revision long, "
-    "emitted_through long"
+    "emitted_through long, graph_key string"
 )
 
 
@@ -173,10 +225,10 @@ def match_stream(events_df, nodes_df, edges_df,
         for pdf in pdfs:
             obs += [(int(t), float(lo), float(la)) for t, lo, la in
                     zip(pdf["ts_us"], pdf["lon"], pdf["lat"])]
-        rows = st.process(graph, obs, opts)
+        rows = st.process(graph, obs, opts, graph_key=bc_key)
         state.update((
             [[float(a), b, c] for a, b, c in st.history],
-            st.last_ts, st.revision, st.emitted_through,
+            st.last_ts, st.revision, st.emitted_through, st.graph_key,
         ))
         if rows:
             out = pd.DataFrame(rows)

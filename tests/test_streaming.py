@@ -114,3 +114,77 @@ def test_state_roundtrip_resume(road):
     b.process(road, TRACK[:2])
     out_direct = b.process(road, TRACK[2:])
     assert out_resumed == out_direct
+
+
+# ---- R5 continuation reconcile (continuation.rs:32-57; streaming.rs:223-466)
+
+
+def test_reconcile_resumes_and_trims_to_overlap(road):
+    from routers_spark.streaming.match_stream import reconcile
+
+    obs = TRACK
+    persisted = obs[:4]
+    history = obs[1:]  # window slid past the first point
+    kind, kept, fresh = reconcile(persisted, history)
+    assert kind == "resume"
+    assert kept == list(obs[1:4])
+    assert fresh == list(obs[4:])  # empty here: TRACK has 4 points
+
+
+def test_reconcile_restart_without_overlap(road):
+    from routers_spark.streaming.match_stream import reconcile
+
+    history = [(10_000_000, -118.160, 34.1503)]
+    kind, kept, fresh = reconcile(TRACK[:2], history)
+    assert kind == "restart" and kept == [] and fresh == history
+    # no persisted trip at all
+    kind, _, fresh = reconcile(None, history)
+    assert kind == "restart" and fresh == history
+
+
+def test_reconcile_restart_on_position_divergence(road):
+    """Same timestamp, different position: the persisted layer was solved
+    against data the history contradicts — must NOT resume
+    (streaming.rs divergence case)."""
+    from routers_spark.streaming.match_stream import reconcile
+
+    moved = [(TRACK[0][0], TRACK[0][1] + 0.01, TRACK[0][2]), *TRACK[1:3]]
+    kind, kept, fresh = reconcile(list(TRACK[:3]), moved)
+    assert kind == "restart"
+
+
+def test_ticked_reconcile_equals_batch(road):
+    """The orchestrator dissemination loop (streaming.rs
+    ticked_resume_snapshots_full_history): each tick reconciles the
+    committed state against the history, feeds only the fresh points, and
+    the merged output equals the one-shot batch match."""
+    from routers_spark.streaming.match_stream import VehicleMatcherState
+
+    committed = None
+    rows = []
+    for tick in range(1, len(TRACK) + 1):
+        history = list(TRACK[:tick])
+        st = (VehicleMatcherState.from_tuple(committed) if committed
+              else VehicleMatcherState())
+        if committed:
+            st.history = [(int(t), lo, la) for t, lo, la in st.history]
+        fresh = st.reconcile_with(history)
+        assert len(st.history) + len(fresh) >= len(history)
+        rows += st.process(road, fresh)
+        committed = st.to_tuple()
+    merged = merge_by_revision(rows)
+    batch = batch_edges(road, [(lon, lat) for _, lon, lat in TRACK])
+    assert [r["edge_id"] for r in merged.values()] == batch
+
+
+def test_downgrade_flag_on_graph_epoch_change(road):
+    """R6 analog: a state that last solved against another graph epoch
+    restarts from raw origins (which the state machine always retains) and
+    flags the emitted rows downgraded."""
+    st = VehicleMatcherState()
+    out1 = st.process(road, TRACK[:2], graph_key="epoch-a")
+    assert all(not r["downgraded"] for r in out1)
+    out2 = st.process(road, TRACK[2:3], graph_key="epoch-b")
+    assert out2 and all(r["downgraded"] for r in out2)
+    out3 = st.process(road, TRACK[3:], graph_key="epoch-b")
+    assert out3 and all(not r["downgraded"] for r in out3)
