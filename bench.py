@@ -32,14 +32,18 @@ HEADLINE_SQL = [
     "gap_sessionize",
     "partition_assign",
     "minhash_signature",
+    "minhash_engine",
     "simhash64",
     "embedding_topk_cosine",
+    "zone_assign_cells",
+    "access_eval",
 ]
 HEADLINE_ENGINE = [
     "map_match_discretized",
     "raster_pyramid_tiles",
     "mvt_point_tiles",
     "dbscan_clusters",
+    "ann_lsh_topk",
 ]
 
 

@@ -202,94 +202,96 @@ FROM ev JOIN st ON ev.cell = st.cell
 """
 
 
-@sql_query("knn_nearest_station")
-def _q_knn(dialect: str) -> str:
-    """X3/X7 nearest-node snap: per event the nearest station by haversine,
-    ties to the lowest id (graph.rs:358-362 min-by semantics)."""
-    # Ring-expansion kNN (X3/X7), the scale path: events join stations on a
-    # 3x3 integer-cell ring; the ring winner is accepted only when its
-    # distance is provably <= any station outside the ring (distance to the
-    # ring boundary, conservatively converted to metres); everything else —
-    # including events with an empty ring — falls back to the full scan.
-    # At high station density the fallback is ~empty (no O(n*m) blowup); at
-    # low density the fallback is small because the inputs are. Both
-    # engines evaluate identical expressions → bit-stable results.
+def _knn_ctes() -> dict[str, str]:
+    """The ring-expansion kNN's CTE bodies, shared verbatim by the one-shot
+    oracle SQL and the Spark two-stage materialized plan (identical
+    expressions → bit-stable results across engines)."""
     cell = "2.0e-2"  # degrees; lon & lat share the grid step
     dist = haversine_m_sql("e.lon", "e.lat", "s.lon", "s.lat")
     # conservative metres-per-degree floors over the fixture band (|lat|<35):
     # lat: 1 deg >= 111000 m; lon: 1 deg >= 111000 * cos(35deg) > 90000 m
-    guarantee = (
-        f"least(e.glon * 90000.0e0, e.glat * 111000.0e0)"
-    )
-    return f"""
-WITH ev AS (
+    guarantee = "least(e.glon * 90000.0e0, e.glat * 111000.0e0)"
+    return {
+        "ev": f"""
   SELECT /*+ REPARTITION(32) */ CAST(event_id AS BIGINT) AS event_id,
          {EVENT_LON} AS lon, {EVENT_LAT} AS lat,
          CAST(floor(({EVENT_LON} + 180.0e0) / {cell}) AS BIGINT) AS cx,
          CAST(floor(({EVENT_LAT} + 90.0e0) / {cell}) AS BIGINT) AS cy
-  FROM events
-),
-ev_g AS (
+  FROM events""",
+        "ev_g": f"""
   SELECT *,
          least(lon + 180.0e0 - (cx - 1) * {cell},
                (cx + 2) * {cell} - (lon + 180.0e0)) AS glon,
          least(lat + 90.0e0 - (cy - 1) * {cell},
                (cy + 2) * {cell} - (lat + 90.0e0)) AS glat
-  FROM ev
-),
-st AS (
+  FROM ev""",
+        "st": f"""
   SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
          {SUPP_LON} AS lon, {SUPP_LAT} AS lat,
          CAST(floor(({SUPP_LON} + 180.0e0) / {cell}) AS BIGINT) AS cx,
          CAST(floor(({SUPP_LAT} + 90.0e0) / {cell}) AS BIGINT) AS cy
-  FROM supplier
-),
-nbr AS (
+  FROM supplier""",
+        "nbr": """
   SELECT -1 AS dx, -1 AS dy UNION ALL SELECT -1, 0 UNION ALL SELECT -1, 1
   UNION ALL SELECT 0, -1 UNION ALL SELECT 0, 0 UNION ALL SELECT 0, 1
-  UNION ALL SELECT 1, -1 UNION ALL SELECT 1, 0 UNION ALL SELECT 1, 1
-),
-ring AS (
-  -- 9-offset explode keeps this an EQUI-join (hash join); a BETWEEN range
-  -- join degenerates to a nested-loop cross product
+  UNION ALL SELECT 1, -1 UNION ALL SELECT 1, 0 UNION ALL SELECT 1, 1""",
+        # 9-offset explode keeps this an EQUI-join (hash join); a BETWEEN
+        # range join degenerates to a nested-loop cross product
+        "ring": f"""
   SELECT e.event_id, s.s_suppkey, {dist} AS dist_m, {guarantee} AS g_m
   FROM ev_g e
   CROSS JOIN nbr d
-  JOIN st s ON s.cx = e.cx + d.dx AND s.cy = e.cy + d.dy
-),
-ring_best AS (
+  JOIN st s ON s.cx = e.cx + d.dx AND s.cy = e.cy + d.dy""",
+        "ring_best": """
   SELECT event_id, s_suppkey, dist_m FROM (
     SELECT event_id, s_suppkey, dist_m, g_m,
            ROW_NUMBER() OVER (PARTITION BY event_id
                               ORDER BY dist_m, s_suppkey) AS rn
     FROM ring
-  ) r WHERE rn = 1 AND dist_m <= g_m
-),
-fallback AS (
-  -- LEFT ... IS NULL instead of NOT IN: a null-aware NOT IN degenerates to
-  -- a nested-loop scan of the subquery per row
+  ) r WHERE rn = 1 AND dist_m <= g_m""",
+        # LEFT ... IS NULL instead of NOT IN: a null-aware NOT IN
+        # degenerates to a nested-loop scan of the subquery per row
+        "fallback": f"""
   SELECT e.event_id, s.s_suppkey, {dist} AS dist_m
   FROM (SELECT eg.* FROM ev_g eg
         LEFT JOIN ring_best rb ON eg.event_id = rb.event_id
         WHERE rb.event_id IS NULL) e
-  CROSS JOIN st s
-),
-fallback_best AS (
+  CROSS JOIN st s""",
+        "fallback_best": """
   SELECT event_id, s_suppkey, dist_m FROM (
     SELECT event_id, s_suppkey, dist_m,
            ROW_NUMBER() OVER (PARTITION BY event_id
                               ORDER BY dist_m, s_suppkey) AS rn
     FROM fallback
-  ) f WHERE rn = 1
-),
-best AS (
-  SELECT * FROM ring_best UNION ALL SELECT * FROM fallback_best
-)
+  ) f WHERE rn = 1""",
+    }
+
+
+_KNN_FINAL = """
 SELECT event_id,
        s_suppkey AS nearest_station,
        round(dist_m, 3) AS dist_m
 FROM best
 """
+
+
+@sql_query("knn_nearest_station")
+def _q_knn(dialect: str) -> str:
+    """X3/X7 nearest-node snap: per event the nearest station by haversine,
+    ties to the lowest id (graph.rs:358-362 min-by semantics).
+
+    Ring-expansion kNN (the scale path): events join stations on a 3x3
+    integer-cell ring; the ring winner is accepted only when its distance
+    is provably <= any station outside the ring (distance to the ring
+    boundary, conservatively converted to metres); everything else —
+    including events with an empty ring — falls back to the full scan. At
+    high station density the fallback is ~empty (no O(n*m) blowup); at low
+    density the fallback is small because the inputs are."""
+    c = _knn_ctes()
+    ctes = ",\n".join(f"{name} AS ({body}\n)" for name, body in c.items())
+    return (f"WITH {ctes},\nbest AS (\n"
+            f"  SELECT * FROM ring_best UNION ALL SELECT * FROM fallback_best"
+            f"\n)\n{_KNN_FINAL}")
 
 
 # concave hexagon-ish ring in the synthetic bbox (lon, lat)
@@ -640,6 +642,31 @@ def _q_minhash(dialect: str) -> str:
     return p.render(finals, group_by=["doc_id"])
 
 
+@sql_query("minhash_engine")
+def _q_minhash_engine(dialect: str) -> str:
+    """ENGINE-path MinHash: the Spark side runs pipeline.dedup's numpy
+    Arrow kernel (one narrow pass, the production shape — the SQL CTE twin
+    above is the oracle form, ~100x slower per doc); the oracle is the
+    identical signature contract."""
+    return _q_minhash(dialect)
+
+
+def _minhash_engine_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from routers_spark.pipeline.dedup import DEFAULT_N_HASHES, minhash_signatures
+
+    register_views(spark, sf_dir)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.length("text") >= 5)
+            .repartition(32))
+    sig = minhash_signatures(docs)
+    return sig.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        *[F.col("sig")[i].alias(f"mh{i}") for i in range(DEFAULT_N_HASHES)],
+    )
+
+
 @sql_query("simhash64")
 def _q_simhash(dialect: str) -> str:
     """SimHash-64 per document: per-bit majority vote over splitmix-mixed
@@ -946,26 +973,35 @@ def sql_queries() -> dict[str, Callable[[str], str]]:
 def _knn_spark_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark override for knn_nearest_station: Spark inlines (re-executes)
     a CTE per reference, and ring_best is referenced twice (union + the
-    fallback anti-join) — persisting it once halves the heavy work. Results
-    identical to the pure-SQL form the oracle runs."""
+    fallback anti-join) — materializing it once as a persisted view halves
+    the heavy work. Composed from the same CTE bodies as the oracle SQL
+    (no string surgery), so results are identical to the one-shot form."""
     register_views(spark, sf_dir)
-    full = _SQL_QUERIES["knn_nearest_station"]("spark")
-    head, tail = full.split("fallback AS (", 1)
-    ring_best_sql = head.rstrip().rstrip(",") + "\nSELECT * FROM ring_best"
-    rb = spark.sql(ring_best_sql).persist()
-    rb.createOrReplaceTempView("ring_best_mat")
-    # the fallback still needs the cheap ev_g/st CTEs (scans + floors);
-    # only the expensive ring pipeline is replaced by the persisted view
-    prefix = head.split("nbr AS (")[0]
-    rest = (prefix + "fallback AS ("
-            + tail.replace("ring_best", "ring_best_mat"))
-    return spark.sql(rest)
+    c = _knn_ctes()
+
+    def with_ctes(names: list[str], final: str) -> str:
+        ctes = ",\n".join(f"{n} AS ({c[n]}\n)" for n in names)
+        return f"WITH {ctes}\n{final}"
+
+    rb = spark.sql(with_ctes(
+        ["ev", "ev_g", "st", "nbr", "ring", "ring_best"],
+        "SELECT * FROM ring_best")).persist()
+    rb.createOrReplaceTempView("ring_best")
+    # the fallback still needs the cheap ev/ev_g/st CTEs (scans + floors);
+    # ring_best inside resolves to the persisted temp view
+    return spark.sql(with_ctes(
+        ["ev", "ev_g", "st", "fallback", "fallback_best"],
+        "SELECT event_id, s_suppkey AS nearest_station, "
+        "round(dist_m, 3) AS dist_m FROM "
+        "(SELECT * FROM ring_best UNION ALL "
+        "SELECT * FROM fallback_best) best"))
 
 
 _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_nearest_station": _knn_spark_materialized,
     "access_eval": _access_eval_spark,
     "zone_assign_cells": _zone_cells_spark,
+    "minhash_engine": _minhash_engine_spark,
 }
 
 
