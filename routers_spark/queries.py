@@ -515,6 +515,26 @@ def _access_eval_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "event_id bigint, ok_car bigint, ok_hgv bigint")
 
 
+@sql_query("dated_range_filter")
+def _q_dated(dialect: str) -> str:
+    """T6 dated range filter (range.rs:92-104): events on weekdays Mon-Fri
+    within an inclusive UTC date range, plus the exclusive variant of the
+    same range as a second flag — the tile-source time filter as plain
+    pushed-down predicates."""
+    from routers_spark.functions.dated import dated_range_sql
+
+    inc = dated_range_sql("ts", "2024-01-08", "2024-01-21",
+                          [0, 1, 2, 3, 4], True, dialect)
+    exc = dated_range_sql("ts", "2024-01-08", "2024-01-21",
+                          [0, 1, 2, 3, 4], False, dialect)
+    return f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(CASE WHEN {exc} THEN 1 ELSE 0 END AS BIGINT) AS in_exclusive
+FROM events
+WHERE {inc}
+"""
+
+
 # ------------------------------------------------------- relational baseline
 
 
