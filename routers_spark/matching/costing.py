@@ -15,6 +15,8 @@ reference defaults.
 from __future__ import annotations
 
 import math
+from collections.abc import Callable
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -35,19 +37,63 @@ from routers_spark.functions.geo import (
 _EPS = 1e-6
 
 
-def decay_u32(values: np.ndarray) -> np.ndarray:
-    """[0,1] heuristic value → u32 cost, ζ=β=1 (util.rs:29-39). The trailing
-    ``as u32`` truncation is part of the contract."""
-    v = np.clip(np.asarray(values, dtype=np.float64), _EPS, 1.0)
-    return (COST_PRECISION * (1.0 / v)).astype(np.uint32)
+@dataclass(frozen=True)
+class Strategy:
+    """One costing strategy (§2.9 extension point, costing/util.rs:8-39):
+    the ζ/β decay constants plus an optional custom heuristic.
+
+    ``calculate`` receives numpy arrays and must return values in [0, 1]
+    (1 = free, 0 = most expensive; NaN ≙ the reference's None → clamped to
+    the most expensive cost). Emission signature:
+    ``calculate(dist_m, emission_error)``; transition signature:
+    ``calculate(straight_m, route_len_m, angular, w_src, w_tgt)``. None →
+    the reference default formula (default.rs:62-65 / 137-163)."""
+
+    zeta: float = 1.0
+    beta: float = 1.0
+    calculate: Callable | None = None
+
+
+@dataclass(frozen=True)
+class CostingStrategies:
+    """The CostingStrategies pair (costing/mod.rs:23-60 how-to)."""
+
+    emission: Strategy = field(default_factory=Strategy)
+    transition: Strategy = field(default_factory=Strategy)
+
+
+DEFAULT_COSTING = CostingStrategies()
+
+
+def decay_u32(values: np.ndarray, zeta: float = 1.0,
+              beta: float = 1.0) -> np.ndarray:
+    """[0,1] heuristic value → u32 cost:
+    ``(PRECISION · ζ · (1/clamp(v,1e-6,1))^β) as u32`` (util.rs:29-39). The
+    trailing truncation is part of the contract. NaN clamps to _EPS (the
+    reference's None → 0.0 → clamp)."""
+    v = np.asarray(values, dtype=np.float64)
+    v = np.where(np.isnan(v), 0.0, v)
+    v = np.clip(v, _EPS, 1.0)
+    inv = 1.0 / v
+    if beta != 1.0:
+        inv = inv ** beta
+    return ((COST_PRECISION * zeta) * inv).astype(np.uint32)
 
 
 def emission_cost_u32(distance_m: np.ndarray,
-                      emission_error: float = DEFAULT_EMISSION_ERROR_M) -> np.ndarray:
+                      emission_error: float = DEFAULT_EMISSION_ERROR_M,
+                      strategy: Strategy | None = None) -> np.ndarray:
     """Gaussian-family emission on the perpendicular (projected) distance
-    (default.rs:62-65): exp(-sqrt(d / err)) → decay."""
+    (default.rs:62-65): exp(-sqrt(d / err)) → decay. A custom strategy
+    swaps the heuristic and/or the decay constants."""
     d = np.asarray(distance_m, dtype=np.float64)
-    return decay_u32(np.exp(-np.sqrt(d / emission_error)))
+    if strategy is None:
+        return decay_u32(np.exp(-np.sqrt(d / emission_error)))
+    if strategy.calculate is not None:
+        value = strategy.calculate(d, emission_error)
+    else:
+        value = np.exp(-np.sqrt(d / emission_error))
+    return decay_u32(value, strategy.zeta, strategy.beta)
 
 
 def headings_from_positions(lons: np.ndarray, lats: np.ndarray) -> np.ndarray:
@@ -136,9 +182,15 @@ def complexity_scalar(headings: list[float]) -> float:
     return max(0.0, min(1.0, n / inv_sum))
 
 
-def decay_u32_scalar(value: float) -> int:
+def decay_u32_scalar(value: float, zeta: float = 1.0,
+                     beta: float = 1.0) -> int:
+    if value != value:  # NaN ≙ reference None → most expensive
+        value = 0.0
     v = min(max(value, _EPS), 1.0)
-    return int(COST_PRECISION * (1.0 / v))
+    inv = 1.0 / v
+    if beta != 1.0:
+        inv = inv ** beta
+    return int((COST_PRECISION * zeta) * inv)
 
 
 def transition_value(

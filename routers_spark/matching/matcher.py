@@ -56,22 +56,27 @@ class MatchOptions:
     # runtime accessibility profile (TripProfile) gating every Dijkstra
     # expansion (cache.rs:297-315); None = no gating (default allow)
     profile: object | None = None
+    # §2.9 injected costing (costing.CostingStrategies): custom emission /
+    # transition heuristics + ζ/β decay constants; None = reference defaults
+    costing: object | None = None
 
 
 # -------------------------------------------------------- candidate search
 
 
 def candidates_for_point(graph, lon: float, lat: float, search_distance: float,
-                         emission_error: float) -> dict:
+                         emission_error: float, costing_strategies=None) -> dict:
     """M1/X6: one candidate per edge intersecting the square box — projected
     position, distance, emission cost. Canonical candidate order = ascending
     edge row (stable; the trellis tie-breaks depend on it)."""
     return candidates_for_points(graph, np.array([lon]), np.array([lat]),
-                                 search_distance, emission_error)[0]
+                                 search_distance, emission_error,
+                                 costing_strategies)[0]
 
 
 def candidates_for_points(graph, lons, lats, search_distance: float,
-                          emission_error: float) -> list[dict]:
+                          emission_error: float,
+                          costing_strategies=None) -> list[dict]:
     """Batch variant (the rayon par-iter analog, generation/mod.rs:33-37):
     box queries per point, then ONE vectorized projection/emission pass over
     every (point, candidate-edge) pair."""
@@ -99,7 +104,9 @@ def candidates_for_points(graph, lons, lats, search_distance: float,
     frac_f = np.where(np.isnan(frac), 0.0, frac)
     px, py = point_at_ratio_np(ax, ay, bx, by, frac_f)
     dist = haversine_m_np(px, py, p_lon, p_lat)
-    emission = costing.emission_cost_u32(dist, emission_error)
+    estrat = (costing_strategies.emission
+              if costing_strategies is not None else None)
+    emission = costing.emission_cost_u32(dist, emission_error, estrat)
     out = []
     off = 0
     for c in counts:
@@ -149,7 +156,7 @@ def reach(graph, cache, src: dict, tgt: dict,
 
 
 def transition_cost(graph, cache, src: dict, tgt: dict,
-                    profile=None) -> tuple[int, tuple] | None:
+                    profile=None, costing_strategies=None) -> tuple[int, tuple] | None:
     """M4: u32 transition cost for a candidate pair, or None (→ NO_EDGE).
     Also returns the (resolution, path_rows) for collapse reuse.
 
@@ -205,12 +212,21 @@ def transition_cost(graph, cache, src: dict, tgt: dict,
         heads.append(h_tgt)
     angular = costing.complexity_scalar(heads)
 
-    value = costing.transition_value(
-        straight, route_length, angular,
-        int(graph.edge_weight[src["edge_row"]]),
-        int(graph.edge_weight[tgt["edge_row"]]),
-    )
-    return min(costing.decay_u32_scalar(value), MAX_WEIGHT), (resolution, path_rows)
+    w_s = int(graph.edge_weight[src["edge_row"]])
+    w_t = int(graph.edge_weight[tgt["edge_row"]])
+    tstrat = (costing_strategies.transition
+              if costing_strategies is not None else None)
+    if tstrat is not None and tstrat.calculate is not None:
+        value = float(np.asarray(tstrat.calculate(
+            np.float64(straight), np.float64(route_length),
+            np.float64(angular), np.float64(w_s), np.float64(w_t))))
+    else:
+        value = costing.transition_value(straight, route_length, angular,
+                                         w_s, w_t)
+    zeta = tstrat.zeta if tstrat is not None else 1.0
+    beta = tstrat.beta if tstrat is not None else 1.0
+    return (min(costing.decay_u32_scalar(value, zeta, beta), MAX_WEIGHT),
+            (resolution, path_rows))
 
 
 # ------------------------------------------------------------- trip solver
@@ -245,7 +261,7 @@ def solve_trip(graph, layers: list[dict], opts: MatchOptions) -> dict:
     cache = GLOBAL_PREDICATE_CACHE
     mats = weigh_boundaries(graph, cache, layers,
                             fanout=opts.selective_fanout,
-                            profile=opts.profile)
+                            profile=opts.profile, costing=opts.costing)
     for k, mat in enumerate(mats):
         if not np.all(mat == np.uint32(NO_EDGE)):
             t.fill_transition(k, mat)
@@ -293,7 +309,8 @@ def _solve_pdf(pdf: pd.DataFrame, graph, opts: MatchOptions,
     seqs = pdf["seq"].values
 
     layers = candidates_for_points(graph, lons, lats,
-                                   opts.search_distance, opts.emission_error)
+                                   opts.search_distance, opts.emission_error,
+                                   opts.costing)
     if opts.drop_unanchored:
         keep = [i for i, l in enumerate(layers) if len(l["edge_row"]) > 0]
         layers = [layers[i] for i in keep]

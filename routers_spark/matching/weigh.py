@@ -128,7 +128,7 @@ def _boundary_pairs(er_a, fa, sx, sy, er_b, fb, tx, ty, fanout):
 
 def weigh_boundaries(graph, cache, layers: list[dict],
                      fanout: int | None = None,
-                     profile=None) -> list[np.ndarray]:
+                     profile=None, costing=None) -> list[np.ndarray]:
     """Dense (mₖ, nₖ) uint32 transition matrices for every boundary of a
     trip, NO_EDGE where unreachable — the batched twin of
     matcher.transition_cost over every pair of every boundary (collapse
@@ -356,19 +356,32 @@ def weigh_boundaries(graph, cache, layers: list[dict],
     mp_l = (np.zeros(P) if n_paths == 0
             else np.where(is_dir, 0.0, mp_len[np.maximum(path_of, 0)]))
     route_len = mp_l + offset
-    with np.errstate(invalid="ignore", divide="ignore"):
-        dev = np.where(route_len <= 0.0, 1.0,
-                       straight / np.where(route_len == 0.0, 1.0, route_len))
-    dev = np.minimum(np.maximum(dev, _EPS), 1.0)
-    turn = np.minimum(np.maximum(angular, _EPS), 1.0)
-    cont = np.minimum(np.maximum(
-        graph.edge_weight[e_s].astype(np.float64)
-        / graph.edge_weight[e_t].astype(np.float64), _EPS), 1.0)
-    value = np.sqrt(dev * turn * cont)
+    w_s = graph.edge_weight[e_s].astype(np.float64)
+    w_t = graph.edge_weight[e_t].astype(np.float64)
+    tstrat = costing.transition if costing is not None else None
+    if tstrat is not None and tstrat.calculate is not None:
+        # §2.9 injected heuristic: vectorized contract, NaN ≙ None
+        value = np.asarray(
+            tstrat.calculate(straight, route_len, angular, w_s, w_t),
+            dtype=np.float64)
+        value = np.where(np.isnan(value), 0.0, value)
+    else:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dev = np.where(route_len <= 0.0, 1.0,
+                           straight / np.where(route_len == 0.0, 1.0, route_len))
+        dev = np.minimum(np.maximum(dev, _EPS), 1.0)
+        turn = np.minimum(np.maximum(angular, _EPS), 1.0)
+        cont = np.minimum(np.maximum(w_s / w_t, _EPS), 1.0)
+        value = np.sqrt(dev * turn * cont)
 
     # decay to u32 + trellis ceiling (util.rs:29-39; weigh/mod.rs:83)
+    zeta = tstrat.zeta if tstrat is not None else 1.0
+    beta = tstrat.beta if tstrat is not None else 1.0
     v = np.minimum(np.maximum(value, _EPS), 1.0)
-    cost = np.minimum((COST_PRECISION * (1.0 / v)).astype(np.int64),
+    inv = 1.0 / v
+    if beta != 1.0:
+        inv = inv ** beta
+    cost = np.minimum(((COST_PRECISION * zeta) * inv).astype(np.int64),
                       MAX_WEIGHT).astype(np.uint32)
 
     # ---- scatter into the per-boundary matrices
@@ -381,6 +394,6 @@ def weigh_boundaries(graph, cache, layers: list[dict],
 
 def weigh_boundary(graph, cache, A: dict, B: dict,
                    fanout: int | None = None,
-                   profile=None) -> np.ndarray:
+                   profile=None, costing=None) -> np.ndarray:
     """Single-boundary convenience wrapper over :func:`weigh_boundaries`."""
-    return weigh_boundaries(graph, cache, [A, B], fanout, profile)[0]
+    return weigh_boundaries(graph, cache, [A, B], fanout, profile, costing)[0]

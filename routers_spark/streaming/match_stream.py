@@ -144,7 +144,7 @@ class VehicleMatcherState:
         for ts, lon, lat in kept:
             cand = candidates_for_point(graph, lon, lat,
                                         opts.search_distance,
-                                        opts.emission_error)
+                                        opts.emission_error, opts.costing)
             if len(cand["edge_row"]):
                 layers.append(cand)
                 ts_kept.append(ts)

@@ -21,7 +21,7 @@ from routers_spark.matching.matcher import (
 from routers_spark.matching.weigh import weigh_boundary
 
 
-def scalar_matrix(graph, cache, A, B, fanout=None):
+def scalar_matrix(graph, cache, A, B, fanout=None, costing=None):
     """The round-1 per-pair loop, kept verbatim as the oracle."""
     from routers_spark.functions.geo import haversine_m_np
 
@@ -35,7 +35,8 @@ def scalar_matrix(graph, cache, A, B, fanout=None):
         else:
             targets = range(n)
         for j in targets:
-            res = transition_cost(graph, cache, src, _cand(B, j))
+            res = transition_cost(graph, cache, src, _cand(B, j),
+                                  costing_strategies=costing)
             if res is not None:
                 mat[i, j] = res[0]
     return mat
