@@ -25,24 +25,28 @@ import numpy as np
 from routers_spark.config import DIJKSTRA_BOUND_CM, PREDICATE_CACHE_CAPACITY
 
 
-# per-process scratch buffers, one set per graph, reused across roots via a
-# generation stamp — the dict/set churn of a fresh search per root dominated
-# allocator traffic in the hot path.
-_SCRATCH: dict[int, dict] = {}
+# per-process CSR adjacency as plain Python lists, one set per graph —
+# numpy scalar indexing in the heap loop cost ~2.5x over list indexing
+# (every popped node scans its successors one edge at a time; this loop is
+# the whole cold-cache cost each executor worker pays, so it bounds the
+# N→4N scaling of the matcher).
+_ADJ: dict[int, dict] = {}
 
 
-def _scratch_for(graph):
+def _adj_for(graph):
     key = id(graph)
-    s = _SCRATCH.get(key)
-    n = len(graph.node_ids)
-    if s is None or len(s["best"]) != n:
-        s = {
-            "best": np.full(n, 0, dtype=np.int64),
-            "seen": np.zeros(n, dtype=np.int64),
-            "gen": 0,
+    a = _ADJ.get(key)
+    if a is None:
+        erows = graph.csr_edge_row
+        a = {
+            "indptr": graph.csr_indptr.tolist(),
+            "dst": graph.edge_dst[erows].tolist(),
+            "w": graph.edge_weight[erows].astype(np.int64).tolist(),
+            "len": graph.edge_len_cm[erows].astype(np.int64).tolist(),
+            "erow": erows.tolist(),
         }
-        _SCRATCH[key] = s
-    return s
+        _ADJ[key] = a
+    return a
 
 
 def bounded_dijkstra_parents(
@@ -56,56 +60,51 @@ def bounded_dijkstra_parents(
 
     ``access_mask`` (bool per edge row) gates every expansion on runtime
     accessibility, the successor filter of cache.rs:297-315."""
-    indptr = graph.csr_indptr
-    erows = graph.csr_edge_row
-    edst = graph.edge_dst
-    ew = graph.edge_weight
-    elen = graph.edge_len_cm
-
-    s = _scratch_for(graph)
-    s["gen"] += 1
-    gen = s["gen"]
-    # best packs (gen << 34 | repr+1) so a stale generation never matches;
-    # repr fits 32 bits, +1 keeps 0 distinct from "unset"
-    best = s["best"]
-    seen = s["seen"]
-    gen_base = gen << 34
+    a = _adj_for(graph)
+    indptr = a["indptr"]
+    dst_l = a["dst"]
+    w_l = a["w"]
+    len_l = a["len"]
+    erow_l = a["erow"]
 
     # heap entries: (repr, seq, node, num, den, dist_cm, parent)
     # seq keeps ties deterministic (FIFO); the Rust BinaryHeap tie order is
     # unspecified, so tie determinism is OURS by definition.
     seq = 0
     heap = [(0, 0, root_idx, 0, 0, 0, root_idx)]
-    best[root_idx] = gen_base | 1
+    seen: set[int] = set()
+    best: dict[int, int] = {}
     parents: dict[int, int] = {}
+    push = heapq.heappush
+    pop = heapq.heappop
 
     while heap:
-        rep, _, node, num, den, dist, parent = heapq.heappop(heap)
-        if seen[node] == gen:
+        rep, _, node, num, den, dist, parent = pop(heap)
+        if node in seen:
             continue
-        seen[node] = gen
-        if float(dist) >= threshold_cm:
+        seen.add(node)
+        if dist >= threshold_cm:
             break  # take_while: iteration ends entirely
         parents[node] = parent
-        for e in erows[indptr[node]:indptr[node + 1]]:
-            if access_mask is not None and not access_mask[e]:
+        for i in range(indptr[node], indptr[node + 1]):
+            if access_mask is not None and not access_mask[erow_l[i]]:
                 continue  # inaccessible under the runtime profile
-            nxt = int(edst[e])
-            if seen[nxt] == gen:
+            nxt = dst_l[i]
+            if nxt in seen:
                 continue
-            n_num = num + int(ew[e])
+            n_num = num + w_l[i]
             n_den = den + 1
-            n_dist = dist + int(elen[e])
+            n_dist = dist + len_l[i]
             # Rust's `as u32` float cast SATURATES (weight_and_distance.rs:
             # 34-36) — unreachable within the 2 km bound, pinned anyway.
             n_rep = min(int(float((n_num // n_den) ** 2) * float(n_dist)),
                         0xFFFFFFFF)
-            prev = int(best[nxt])
-            if prev >> 34 == gen and (prev & 0x3FFFFFFFF) <= n_rep + 1:
+            prev = best.get(nxt)
+            if prev is not None and prev <= n_rep:
                 continue
             seq += 1
-            best[nxt] = gen_base | (n_rep + 1)
-            heapq.heappush(heap, (n_rep, seq, nxt, n_num, n_den, n_dist, node))
+            best[nxt] = n_rep
+            push(heap, (n_rep, seq, nxt, n_num, n_den, n_dist, node))
     return parents
 
 

@@ -30,7 +30,6 @@ from routers_spark.config import (
     DEFAULT_SEARCH_DISTANCE_M,
     MAX_WEIGHT,
     NO_EDGE,
-    SELECTIVE_FANOUT,
 )
 from routers_spark.functions.geo import (
     haversine_m_np,

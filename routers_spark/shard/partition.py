@@ -97,6 +97,42 @@ def edges_with_rows(edges_df: DataFrame) -> DataFrame:
     )
 
 
+def write_shards(edges_df: DataFrame, nodes_df: DataFrame, path: str,
+                 cell_deg: float = 0.02, pad_m: float = 1000.0) -> None:
+    """S5 shard file sink (generate-shards.rs:48-125): every edge lands in
+    each cell whose ``pad_m``-padded bounds its bbox touches (the 1 km
+    padding strip default, bin/generate-shards.rs:14), written
+    ``partitionBy(cx, cy)`` — one directory per shard, endpoint coords
+    embedded so a shard hydrates without the global nodes table. The
+    parquet commit protocol is the manifest."""
+    cover = edges_with_cover_cells(edges_with_rows(edges_df), nodes_df,
+                                   cell_deg, pad_m=pad_m)
+    (
+        cover.select("cx", "cy", "edge_id", "edge_row", "src", "dst",
+                     "weight", "ax", "ay", "bx", "by")
+        .write.mode("overwrite").partitionBy("cx", "cy").parquet(path)
+    )
+
+
+def read_shard(spark, path: str, cx: int, cy: int):
+    """Load one shard's (nodes, edges) pandas frames from the partitioned
+    sink — the ShardedNetwork hydrate (network.rs:110-169: nodes recovered
+    from admitted edges' endpoints). Feed to build_packed_graph."""
+    pdf = (
+        spark.read.parquet(path)
+        .filter((F.col("cx") == cx) & (F.col("cy") == cy))
+        .drop("cx", "cy")
+        .toPandas()
+        .sort_values("edge_row", kind="stable")
+    )
+    nodes = pd.DataFrame({
+        "node_id": np.concatenate([pdf["src"].values, pdf["dst"].values]),
+        "lon": np.concatenate([pdf["ax"].values, pdf["bx"].values]),
+        "lat": np.concatenate([pdf["ay"].values, pdf["by"].values]),
+    }).drop_duplicates("node_id")
+    return nodes, pdf[["edge_id", "src", "dst", "weight", "edge_row"]]
+
+
 def trip_subgraph_edges(points_df: DataFrame, nodes_df: DataFrame,
                         edges_df: DataFrame, pad_m: float,
                         cell_deg: float = 0.02) -> DataFrame:

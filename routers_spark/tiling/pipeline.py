@@ -64,6 +64,35 @@ def with_tile_columns(df: DataFrame, zoom: int, lon: str = "lon",
     )
 
 
+def fragment_hilbert_range(z: int, x: int, y: int,
+                           storage_zoom: int) -> tuple[int, int]:
+    """S8 range scan key bounds: the hilbert keys of tile (z,x,y)'s
+    descendants at ``storage_zoom``. Hilbert is hierarchical — the 4^k
+    children of a cell occupy exactly [h·4^k, (h+1)·4^k) — so one tile
+    query is ONE contiguous key range (the BigTable RowRange analog,
+    bigtable.rs:311-320 built from Fragment::detail, fragment.rs:35-52).
+    Returns the inclusive [lo, hi] pair."""
+    import numpy as np
+
+    from routers_spark.functions.cells import hilbert_xy2h_np
+
+    assert storage_zoom >= z
+    k = storage_zoom - z
+    h = int(hilbert_xy2h_np(np.array([x]), np.array([y]), z)[0])
+    return h << (2 * k), ((h + 1) << (2 * k)) - 1
+
+
+def scan_tile_range(tiles_df: DataFrame, z: int, x: int, y: int,
+                    storage_zoom: int, key_col: str = "hilbert") -> DataFrame:
+    """Range-pruned tile scan: filter the hilbert-keyed tile table to one
+    fragment's descendants. The BETWEEN predicate pushes into the parquet
+    scan (min/max pruning on the sort key), so a z/x/y query touches only
+    the files covering its range — the reference's row-range read
+    (range.rs:207-237) re-expressed as partition/file pruning."""
+    lo, hi = fragment_hilbert_range(z, x, y, storage_zoom)
+    return tiles_df.filter(F.col(key_col).between(lo, hi))
+
+
 RASTER_SCHEMA = (
     "image_id string, z int, x long, y long, level int, tile_w int, "
     "tile_h int, tile_png binary"
