@@ -240,12 +240,20 @@ def _cand(layer: dict, i: int) -> dict:
     }
 
 
-def solve_trip(graph, layers: list[dict], opts: MatchOptions) -> dict:
+def solve_trip(graph, layers: list[dict], opts: MatchOptions,
+               boundary_keys: list | None = None,
+               boundary_cache: dict | None = None) -> dict:
     """Weigh + solve + collapse one trip. Returns
     {status, breaks, path, cost, hops, trellis} where path[i] is the chosen
     candidate index per layer, hops[i] the (resolution, path_rows) of
     boundary i, and trellis the solved Trellis (reused for convergence
-    queries by the streaming matcher — one weigh per micro-batch, not two)."""
+    queries by the streaming matcher — one weigh per micro-batch, not two).
+
+    R2 incremental weighing (weigh/mod.rs:30-34, 160-168: only PENDING
+    boundaries recomputed): with ``boundary_keys`` + ``boundary_cache``,
+    boundary k's matrix is reused from cache[boundary_keys[k]] when
+    present — the streaming matcher keys by the observation pair, so each
+    micro-batch weighs only the boundaries its new points introduced."""
     widths = [len(l["edge_row"]) for l in layers]
     empty = [i for i, w in enumerate(widths) if w == 0]
     if empty:
@@ -258,9 +266,22 @@ def solve_trip(graph, layers: list[dict], opts: MatchOptions) -> dict:
         t.add_layer(widths[k], layers[k]["emission"])
 
     cache = GLOBAL_PREDICATE_CACHE
-    mats = weigh_boundaries(graph, cache, layers,
-                            fanout=opts.selective_fanout,
-                            profile=opts.profile, costing=opts.costing)
+    if boundary_keys is None or boundary_cache is None:
+        mats = weigh_boundaries(graph, cache, layers,
+                                fanout=opts.selective_fanout,
+                                profile=opts.profile, costing=opts.costing)
+    else:
+        from routers_spark.matching.weigh import weigh_boundary
+
+        mats = []
+        for k in range(len(widths) - 1):
+            m = boundary_cache.get(boundary_keys[k])
+            if m is None:
+                m = weigh_boundary(graph, cache, layers[k], layers[k + 1],
+                                   fanout=opts.selective_fanout,
+                                   profile=opts.profile, costing=opts.costing)
+                boundary_cache[boundary_keys[k]] = m
+            mats.append(m)
     for k, mat in enumerate(mats):
         if not np.all(mat == np.uint32(NO_EDGE)):
             t.fill_transition(k, mat)

@@ -21,6 +21,7 @@ wrapper runs it under ``applyInPandasWithState``.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -32,6 +33,20 @@ from routers_spark.matching.matcher import (
     solve_trip,
 )
 from routers_spark.matching.trellis import Unreachable
+
+
+# process-wide LRU of weighed boundary matrices, keyed by (graph epoch,
+# src observation position, tgt observation position) — candidates (and so
+# the matrix) are a pure function of graph + positions, letting vehicles
+# even share entries. Bounded; survives micro-batches in the long-lived
+# python worker (no state-store serialization needed).
+_BOUNDARY_LRU: OrderedDict = OrderedDict()
+_BOUNDARY_LRU_CAP = 65536
+
+
+def _trim_boundary_lru() -> None:
+    while len(_BOUNDARY_LRU) > _BOUNDARY_LRU_CAP:
+        _BOUNDARY_LRU.popitem(last=False)
 
 
 def reconcile(persisted: list[tuple[int, float, float]] | None,
@@ -141,6 +156,7 @@ class VehicleMatcherState:
         # bin/matcher.rs:143-157)
         layers = []
         ts_kept = []
+        pos_kept = []
         for ts, lon, lat in kept:
             cand = candidates_for_point(graph, lon, lat,
                                         opts.search_distance,
@@ -148,10 +164,21 @@ class VehicleMatcherState:
             if len(cand["edge_row"]):
                 layers.append(cand)
                 ts_kept.append(ts)
+                pos_kept.append((lon, lat))
         if not layers:
             return []
 
-        result = solve_trip(graph, layers, opts)
+        # R2 incremental weighing: boundary matrices are keyed by the
+        # observation-pair positions in a process-wide LRU, so a micro-batch
+        # re-weighs only the boundaries its fresh points introduced
+        # (weigh/mod.rs:160-168 pending-only recompute; the retained
+        # interior boundaries hit the cache)
+        gtok = self.graph_key or str(id(graph))
+        keys = [(gtok, pos_kept[k], pos_kept[k + 1])
+                for k in range(len(layers) - 1)]
+        result = solve_trip(graph, layers, opts, boundary_keys=keys,
+                            boundary_cache=_BOUNDARY_LRU)
+        _trim_boundary_lru()
         if result["status"] != "matched":
             return []
         self.revision += 1

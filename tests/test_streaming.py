@@ -188,3 +188,41 @@ def test_downgrade_flag_on_graph_epoch_change(road):
     assert out2 and all(r["downgraded"] for r in out2)
     out3 = st.process(road, TRACK[3:], graph_key="epoch-b")
     assert out3 and all(not r["downgraded"] for r in out3)
+
+
+def test_incremental_weighing_only_pending(road, monkeypatch):
+    """R2 (weigh/mod.rs:160-168): each micro-batch weighs ONLY the boundary
+    its fresh point introduced — retained interior boundaries come from the
+    process-wide cache."""
+    import routers_spark.matching.matcher as matcher_mod
+    from routers_spark.matching import weigh as weigh_mod
+    from routers_spark.streaming import match_stream as ms
+
+    ms._BOUNDARY_LRU.clear()
+    calls = []
+    orig = weigh_mod.weigh_boundary
+
+    def counting(graph, cache, A, B, fanout=None, profile=None, costing=None):
+        calls.append(1)
+        return orig(graph, cache, A, B, fanout, profile, costing)
+
+    monkeypatch.setattr(matcher_mod, "weigh_boundary", counting, raising=False)
+    import routers_spark.matching.weigh
+    monkeypatch.setattr(routers_spark.matching.weigh, "weigh_boundary", counting)
+
+    st = VehicleMatcherState()
+    st.process(road, [TRACK[0]])
+    st.process(road, [TRACK[1]])     # 1 new boundary
+    n_after_two = len(calls)
+    st.process(road, [TRACK[2]])     # only boundary (1,2) is new
+    assert len(calls) == n_after_two + 1
+    st.process(road, [TRACK[3]])
+    assert len(calls) == n_after_two + 2
+    # output still equals batch
+    st2 = VehicleMatcherState()
+    rows = []
+    for obs in TRACK:
+        rows += st2.process(road, [obs])
+    merged = merge_by_revision(rows)
+    batch = batch_edges(road, [(lon, lat) for _, lon, lat in TRACK])
+    assert [r["edge_id"] for r in merged.values()] == batch
