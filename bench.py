@@ -34,6 +34,7 @@ HEADLINE_SQL = [
     "minhash_signature",
     "minhash_engine",
     "simhash64",
+    "simhash_dedup_pairs",
     "embedding_topk_cosine",
     "zone_assign_cells",
     "access_eval",
@@ -44,6 +45,7 @@ HEADLINE_ENGINE = [
     "mvt_point_tiles",
     "dbscan_clusters",
     "ann_lsh_topk",
+    "embedding_dedup",
 ]
 
 

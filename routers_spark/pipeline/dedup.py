@@ -146,6 +146,65 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
     )
 
 
+SIMHASH_SCHEMA = "doc_id long, simhash long, n_shingles long"
+
+
+def simhash_signatures(docs_df: DataFrame, text_col: str = "text",
+                       k: int = DEFAULT_SHINGLE_K) -> DataFrame:
+    """One narrow Arrow pass: (doc_id, simhash64 as signed i64)."""
+    from collections.abc import Iterator
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sh = [int(np.int64(np.uint64(simhash64(t, k))))
+                  for t in pdf[text_col]]
+            n_sh = [max(len(t) - k + 1, 0) for t in pdf[text_col]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sh,
+                                "n_shingles": n_sh})
+
+    return docs_df.select("doc_id", text_col).mapInPandas(
+        gen, schema=SIMHASH_SCHEMA)
+
+
+def simhash_dedup_pairs(docs_df: DataFrame, text_col: str = "text",
+                        max_hamming: int = 3, bands: int = 4,
+                        k: int = DEFAULT_SHINGLE_K) -> DataFrame:
+    """SimHash near-dup candidate pairs via the Hamming-ball banded join:
+    split the 64-bit simhash into ``bands`` equal slices — two hashes
+    within Hamming distance < bands share at least one identical slice
+    (pigeonhole), so an equi-join on (band, slice) finds every pair with
+    distance <= max_hamming (requires max_hamming < bands) and the exact
+    ``bit_count(a XOR b)`` verify prunes the rest. All-pairs never happens;
+    everything after the signature pass is JVM column algebra.
+
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(docs_df, text_col, k).filter(
+        F.col("n_shingles") > 0)
+    banded = sigs.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("simhash", b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ])).alias("band", "slice"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.slice") == F.col("b.slice"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def connected_canonical_ids(pairs_df: DataFrame, max_iters: int = 15) -> DataFrame:
     """Connected components over undirected dup pairs (doc_a, doc_b):
     every member of a component maps to the component's MINIMUM doc id.

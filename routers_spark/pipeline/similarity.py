@@ -121,6 +121,64 @@ def build_lsh_index(corpus_df: DataFrame, dim: int, n_planes: int = 8,
         gen, schema=f"{id_col} long, {vec_col} array<float>, t int, bucket long")
 
 
+def embedding_dedup(corpus_df: DataFrame, threshold: float = 0.95,
+                    n_planes: int = 8, n_tables: int = 4,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate detection: the (table, bucket) LSH
+    index SELF-joins (vectors sharing any bucket become candidate pairs —
+    never all-pairs), an Arrow pass verifies exact cosine ≥ threshold, and
+    connected components assign canonical ids (chains collapse, same as
+    minhash_dedup). Output: (doc_id, canonical_id) for every corpus row.
+
+    Skew note: a degenerate bucket (e.g. all-zero vectors) self-joins
+    quadratically — at scale, salt or drop buckets above an occupancy cap
+    before the join (the same knob as the candidate cell join)."""
+    from routers_spark.pipeline.dedup import connected_canonical_ids
+
+    head = corpus_df.select(vec_col).first()
+    if head is None:
+        return corpus_df.select(F.col(id_col).alias("doc_id")).withColumn(
+            "canonical_id", F.col("doc_id"))
+    dim = len(head[0])
+    index = build_lsh_index(corpus_df, dim, n_planes, n_tables, id_col, vec_col)
+    a = index.alias("a")
+    b = index.alias("b")
+    cand = (
+        a.join(b, (F.col("a.t") == F.col("b.t"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"a.{vec_col}").alias("vec_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col(f"b.{vec_col}").alias("vec_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.stack(pdf["vec_a"].values).astype(np.float64)
+            vb = np.stack(pdf["vec_b"].values).astype(np.float64)
+            va /= np.maximum(np.linalg.norm(va, axis=1, keepdims=True), 1e-30)
+            vb /= np.maximum(np.linalg.norm(vb, axis=1, keepdims=True), 1e-30)
+            cos = np.einsum("ij,ij->i", va, vb)
+            yield pd.DataFrame({"doc_a": pdf["id_a"].values,
+                                "doc_b": pdf["id_b"].values,
+                                "cosine": cos})
+
+    pairs = cand.mapInPandas(
+        verify, schema="doc_a long, doc_b long, cosine double"
+    ).filter(F.col("cosine") >= threshold)
+    canon = connected_canonical_ids(pairs.select("doc_a", "doc_b"))
+    return (
+        corpus_df.select(F.col(id_col).alias("doc_id"))
+        .join(canon, "doc_id", "left")
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("canonical_id"))
+    )
+
+
 def lsh_topk_cosine(corpus_df: DataFrame, query_vecs: np.ndarray,
                     query_ids: np.ndarray, k: int = 10, n_planes: int = 8,
                     n_tables: int = 4, id_col: str = "vec_id",

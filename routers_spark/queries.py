@@ -728,6 +728,50 @@ def _q_simhash(dialect: str) -> str:
     )
 
 
+@sql_query("simhash_dedup_pairs")
+def _q_simhash_dedup(dialect: str) -> str:
+    """SimHash Hamming-ball dedup pairs: 4 × 16-bit bands, equi-join on
+    (band, slice) — pigeonhole guarantees every pair within Hamming
+    distance 3 shares a band — then exact bit_count(XOR) ≤ 3 verify. The
+    Spark side runs the engine pipeline (pipeline.dedup.simhash_dedup_pairs,
+    Arrow signature pass + JVM join); this SQL is the independent oracle."""
+    from routers_spark.functions.hashing import sql_ops
+
+    xor, ushr, _ = sql_ops(dialect)
+    inner = _q_simhash(dialect)
+    slices = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"({ushr('simhash', b * 16)} & 65535) AS slc FROM sh"
+        for b in range(4))
+    ham = f"bit_count({xor('a.simhash', 'b.simhash')})"
+    return f"""
+WITH sh AS ({inner}),
+banded AS ({slices}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST({ham} AS BIGINT) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.slc = b.slc AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+def _simhash_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from routers_spark.pipeline.dedup import simhash_dedup_pairs
+
+    register_views(spark, sf_dir)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(32))
+    return simhash_dedup_pairs(docs, max_hamming=3, bands=4).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+
+
 @sql_query("ngram_jaccard_pairs")
 def _q_jaccard(dialect: str) -> str:
     """Exact n-gram (5-codepoint shingle) Jaccard over all candidate pairs
@@ -969,6 +1013,17 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs, n_hashes=8, bands=2, threshold=0.5)
 
 
+@nosql_query("embedding_dedup")
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup canonical ids (LSH bucket self-join +
+    exact-cosine verify + connected components); planted-duplicate recovery
+    asserted in pytest."""
+    from routers_spark.pipeline.similarity import embedding_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dedup(emb, threshold=0.98)
+
+
 @nosql_query("ann_lsh_topk")
 def _q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k cosine (recall vs brute asserted in
@@ -1022,6 +1077,7 @@ _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "access_eval": _access_eval_spark,
     "zone_assign_cells": _zone_cells_spark,
     "minhash_engine": _minhash_engine_spark,
+    "simhash_dedup_pairs": _simhash_dedup_spark,
 }
 
 

@@ -191,3 +191,58 @@ def test_minhash_dedup_chain_one_component(spark):
     roots = set(out.values())
     for d, c in out.items():
         assert out[c] == c, (d, c, out)
+
+
+def test_simhash_dedup_pairs_hamming_ball(spark):
+    """Banded Hamming join finds exactly the pairs within distance 3 that
+    a brute-force O(n^2) scan finds (pigeonhole: dist<4 => shared band)."""
+    import itertools
+
+    from routers_spark.pipeline.dedup import (
+        hamming64,
+        simhash64,
+        simhash_dedup_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then naps "
+            "under a warm afternoon sun near the river bend ")
+    texts = {1: base * 2, 2: base * 2 + "x", 3: base * 2 + "zq",
+             4: "completely different content about spark and parquet " * 3,
+             5: base * 2 + "y"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_dedup_pairs(docs, max_hamming=3, bands=4).collect()}
+    import numpy as np
+
+    sh = {d: np.uint64(simhash64(t)) for d, t in texts.items()}
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        h = hamming64(sh[a], sh[b])
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want
+    assert want, "fixture must contain at least one near-dup pair"
+
+
+def test_embedding_dedup_recovers_planted_duplicates(spark):
+    import numpy as np
+
+    from routers_spark.pipeline.similarity import embedding_dedup
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, (v / np.linalg.norm(v)).astype("float32").tolist()))
+    # plant near-dups of vectors 0 and 1 (tiny perturbations)
+    for j, src in ((100, 0), (101, 0), (102, 1)):
+        v = base[src] + rng.normal(scale=1e-3, size=16)
+        rows.append((j, (v / np.linalg.norm(v)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.doc_id: r.canonical_id
+           for r in embedding_dedup(emb, threshold=0.999).collect()}
+    assert out[100] == 0 and out[101] == 0 and out[102] == 1
+    # chain consistency: every canonical is a root
+    assert all(out[c] == c for c in set(out.values()))
+    # non-duplicates keep themselves
+    assert out[5] == 5 and out[37] == 37
