@@ -480,6 +480,46 @@ FROM events"""
             f"{verdict(_HGV_CHAIN, 'ok_hgv')} FROM tags")
 
 
+def _spatial_cell_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark override for spatial_cell_join: the geohash-5 cells come from
+    the numpy kernel in Arrow passes (the unrolled SQL geohash is a ~50 KB
+    expression tree whose codegen alone costs seconds per plan); the join +
+    refine stay JVM-side. Values identical to the SQL form (the numpy
+    encoder is pinned against the reference subdivision port AND the SQL
+    program, tests/test_cells.py)."""
+    import pandas as pd
+
+    from routers_spark.functions.cells import geohash_str_np
+
+    register_views(spark, sf_dir)
+
+    def with_cell(prefix: str):
+        def f(batches):
+            for pdf in batches:
+                out = pdf.copy()
+                out["cell"] = geohash_str_np(
+                    pdf[f"{prefix}_lon"].values, pdf[f"{prefix}_lat"].values, 5)
+                yield out
+        return f
+
+    ev = spark.sql(
+        f"SELECT /*+ REPARTITION(32) */ CAST(event_id AS BIGINT) AS event_id,"
+        f" {EVENT_LON} AS ev_lon, {EVENT_LAT} AS ev_lat FROM events"
+    ).mapInPandas(with_cell("ev"),
+                  "event_id bigint, ev_lon double, ev_lat double, cell string")
+    st = spark.sql(
+        f"SELECT CAST(s_suppkey AS BIGINT) AS station_id,"
+        f" {SUPP_LON} AS st_lon, {SUPP_LAT} AS st_lat FROM supplier"
+    ).mapInPandas(with_cell("st"),
+                  "station_id bigint, st_lon double, st_lat double, cell string")
+    from pyspark.sql import functions as F
+
+    dist = haversine_m_sql("ev_lon", "ev_lat", "st_lon", "st_lat")
+    return (ev.join(st, "cell")
+            .select("event_id", "station_id",
+                    F.expr(f"round({dist}, 3)").alias("dist_m")))
+
+
 def _access_eval_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of access_eval: the ENGINE evaluator (graph/access.py)
     over the same synthetic tags — proves the Python semantics against the
@@ -1078,6 +1118,7 @@ _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zone_assign_cells": _zone_cells_spark,
     "minhash_engine": _minhash_engine_spark,
     "simhash_dedup_pairs": _simhash_dedup_spark,
+    "spatial_cell_join": _spatial_cell_join_spark,
 }
 
 

@@ -115,13 +115,25 @@ CLUSTER_SCHEMA = (
 def cluster_points(points_df: DataFrame, eps_m: float, cell_precision: int = 5,
                    capacity: int = DEFAULT_CAPACITY) -> DataFrame:
     """Cell-partitioned DBSCAN; one output row per cluster. cluster_id =
-    geohash-packed u64 of the centroid (cluster.rs:79-103 id packing)."""
-    from pyspark.sql import functions as F
+    geohash-packed u64 of the centroid (cluster.rs:79-103 id packing).
 
-    from routers_spark.functions import sqlgen
+    The geohash cell comes from the numpy kernel in one Arrow pass — the
+    unrolled SQL form is a ~52 KB expression tree whose codegen/analysis
+    alone costs seconds per plan (same values either way, pytest-pinned)."""
+    from collections.abc import Iterator
 
-    cell = sqlgen.geohash_str_expr(sqlgen.SPARK, "lon", "lat", cell_precision)
-    with_cell = points_df.withColumn("cell", F.expr(cell))
+    from routers_spark.functions.cells import geohash_str_np
+
+    def add_cell(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["lon", "lat"]].copy()
+            out["cell"] = geohash_str_np(
+                pdf["lon"].values.astype(np.float64),
+                pdf["lat"].values.astype(np.float64), cell_precision)
+            yield out
+
+    with_cell = points_df.select("lon", "lat").mapInPandas(
+        add_cell, schema="lon double, lat double, cell string")
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         lons = pdf["lon"].values.astype(np.float64)
