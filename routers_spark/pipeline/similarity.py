@@ -27,9 +27,10 @@ from routers_spark.functions.hashing import mix_np
 def deterministic_planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     """(n_planes, dim) hyperplanes from splitmix64 streams mapped to
     [-1, 1) — deterministic across processes (no RNG object state)."""
-    idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(seed) * np.uint64(
-        0x9E3779B97F4A7C15
-    )
+    with np.errstate(over="ignore"):  # uint64 wrap is the contract
+        idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(seed) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
     u = mix_np(idx).astype(np.float64) / float(2**64)
     return (u * 2.0 - 1.0).reshape(n_planes, dim)
 
