@@ -66,34 +66,6 @@ def _bear(lon1, lat1, lon2, lat2):
 # ------------------------------------------------------- batched walks
 
 
-def _walk_paths(pm, leaves: np.ndarray):
-    """Walk every leaf to the root over a ParentMap at once
-    (expansion.rs:26-39 semantics: leaf outside the bound → unreachable).
-    Path lengths are known up front (depth), so the walk is a pure integer
-    gather per step: cur = loc_parent[cur]. Returns (lens, offs, flat, ok):
-    root→leaf node-id paths as a ragged flat array."""
-    lidx, member = pm.locate(leaves.astype(np.int64))
-    L = len(leaves)
-    lens = np.zeros(L, dtype=np.int64)
-    lens[member] = pm.depth[lidx[member]] + 1
-    offs = np.zeros(L + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    flat = np.empty(int(offs[-1]), dtype=np.int64)
-    act = np.nonzero(member)[0]
-    cur = lidx[act]
-    base = offs[act]
-    rem = lens[act]
-    k = 0
-    while len(cur):
-        flat[base + rem - 1 - k] = pm.keys[cur]
-        k += 1
-        alive = rem > k
-        if not alive.all():
-            cur, base, rem = cur[alive], base[alive], rem[alive]
-        cur = pm.loc[cur]
-    return lens, offs, flat, member
-
-
 def _ragged_within(counts: np.ndarray) -> np.ndarray:
     """0..count-1 per group, flattened (the repeat/cumsum offset trick)."""
     total = int(counts.sum())
@@ -188,28 +160,69 @@ def weigh_boundaries(graph, cache, layers: list[dict],
     ty = np.concatenate(ty_c)
     P = len(b_id)
 
-    # ---- stage 2: parent walks, one pass per unique root across the trip
+    # ---- stage 2: parent walks — ALL (root, leaf) lanes of the trip walk
+    # ONE concatenated parent forest (per-root ParentMaps re-based onto a
+    # shared index space), so the gather loop runs once per trip instead of
+    # once per unique root (the per-root overhead dominated wide urban
+    # boundaries: widths 40+ have ~width x layers unique roots per trip)
     roots = graph.edge_dst[e_s].astype(np.int64)
     leaves = graph.edge_src[e_t].astype(np.int64)
     path_of = np.full(P, -1, dtype=np.int64)
-    flat_chunks: list[np.ndarray] = []
-    len_chunks: list[np.ndarray] = []
     n_paths = 0
+    plens = np.empty(0, dtype=np.int64)
+    pflat = np.empty(0, dtype=np.int64)
     std_idx = np.nonzero(~is_dir)[0]
     if len(std_idx):
         r_std = roots[std_idx]
         order = np.argsort(r_std, kind="stable")
         uniq_roots, starts = np.unique(r_std[order], return_index=True)
         bounds = np.append(starts, len(order))
+        pms, bases = [], []
+        lane_loc_c, lane_len_c, lane_ok_c = [], [], []
+        seg_c, inv_c, lane_base = [], [], []
+        fbase = 0
         for t in range(len(uniq_roots)):
             seg = std_idx[order[bounds[t]:bounds[t + 1]]]
             leaves_u, inv = np.unique(leaves[seg], return_inverse=True)
             pm = cache.query(graph, int(uniq_roots[t]), profile)
-            lens, offs, flat, ok = _walk_paths(pm, leaves_u)
-            path_of[seg] = np.where(ok[inv], n_paths + inv, -1)
-            flat_chunks.append(flat)
-            len_chunks.append(lens)
+            lidx, member = pm.locate(leaves_u)
+            ll = np.zeros(len(leaves_u), dtype=np.int64)
+            ll[member] = pm.depth[lidx[member]] + 1
+            lane_loc_c.append(np.where(member, lidx + fbase, 0))
+            lane_len_c.append(ll)
+            lane_ok_c.append(member)
+            seg_c.append(seg)
+            inv_c.append(inv)
+            lane_base.append(n_paths)
             n_paths += len(leaves_u)
+            pms.append(pm)
+            bases.append(fbase)
+            fbase += len(pm.keys)
+        big_keys = np.concatenate([pm.keys for pm in pms])
+        big_loc = np.concatenate([pm.loc + b for pm, b in zip(pms, bases)])
+        lanes = np.concatenate(lane_loc_c)
+        plens = np.concatenate(lane_len_c)
+        ok_all = np.concatenate(lane_ok_c)
+        # one walk over every lane (expansion.rs:26-39 semantics: leaf
+        # outside its root's bound → len 0, unreachable)
+        poffs0 = np.zeros(n_paths + 1, dtype=np.int64)
+        np.cumsum(plens, out=poffs0[1:])
+        pflat = np.empty(int(poffs0[-1]), dtype=np.int64)
+        act = np.nonzero(plens > 0)[0]
+        cur = lanes[act]
+        base_o = poffs0[act]
+        rem = plens[act]
+        k = 0
+        while len(cur):
+            pflat[base_o + rem - 1 - k] = big_keys[cur]
+            k += 1
+            alive = rem > k
+            if not alive.all():
+                cur, base_o, rem = cur[alive], base_o[alive], rem[alive]
+            cur = big_loc[cur]
+        for t in range(len(seg_c)):
+            ids = lane_base[t] + inv_c[t]
+            path_of[seg_c[t]] = np.where(ok_all[ids], ids, -1)
 
     # drop unreachable standard pairs (their matrix cells stay NO_EDGE)
     keep = is_dir | (path_of >= 0)
@@ -221,10 +234,6 @@ def weigh_boundaries(graph, cache, layers: list[dict],
     if P == 0:
         return mats
 
-    plens = (np.concatenate(len_chunks) if len_chunks
-             else np.empty(0, dtype=np.int64))
-    pflat = (np.concatenate(flat_chunks) if flat_chunks
-             else np.empty(0, dtype=np.int64))
     poffs = np.zeros(n_paths + 1, dtype=np.int64)
     np.cumsum(plens, out=poffs[1:])
 
