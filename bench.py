@@ -46,6 +46,8 @@ HEADLINE_ENGINE = [
     "dbscan_clusters",
     "ann_lsh_topk",
     "embedding_dedup",
+    "image_features",
+    "phash_dedup_pairs",
 ]
 
 

@@ -1,0 +1,188 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata,
+with the heavy per-row work in Arrow-batched ``mapInPandas``.
+
+The engine treats image/audio/video as ``binary`` columns alongside typed
+metadata (the input_hint shape). What is REAL here: the Spark-side plumbing
+— schemas, batch iteration, partitioning, fan-out bounds — and the PNG
+image path (full codec in functions/raster.py). What is STUBBED (this
+container ships no media libraries): audio/video DECODE uses a
+clearly-marked deterministic fake (`fake_media_decode`) that derives
+samples/frames from the payload bytes, so every pipeline shape is
+exercised end-to-end and swapping in a real decoder (pyav/ffmpeg, soundfile)
+only replaces that one function.
+
+Operators:
+  - ``image_features``: decode → per-channel mean/std + 8-bin luminance
+    histogram (real math over real decodes)
+  - ``sample_frames``: video → every-Nth-frame rows (bounded fan-out;
+    frame payloads re-encoded PNG)
+  - ``audio_windows``: audio → fixed-length window rows with RMS energy
+  - ``phash_dedup_pairs``: perceptual-hash Hamming-ball near-dup join over
+    the image table (the banded-slice pigeonhole join, same machinery as
+    the SimHash dedup)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from routers_spark.functions.raster import decode_image, png_encode
+
+
+def fake_media_decode(payload: bytes, n: int, width: int = 1) -> np.ndarray:
+    """STUB decoder (no media libs in this container): deterministic
+    pseudo-samples derived from the payload digest — a stand-in with the
+    exact shape contract of a real decoder ((n, width) float32 in [-1, 1)).
+    Swap for pyav/soundfile in production; nothing else changes."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return (rng.random((n, width), dtype=np.float32) * 2.0 - 1.0)
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "image_id string, mean_r double, mean_g double, mean_b double, "
+    "std_lum double, hist array<double>"
+)
+
+
+def image_features(images_df: DataFrame) -> DataFrame:
+    """Decode each image (REAL for PNG; deterministic stand-in for the
+    lossy format) and emit per-channel means + luminance std + an 8-bin
+    luminance histogram — one narrow Arrow pass, no shuffle."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    arr = decode_image(bytes(r.bytes), r.fmt).astype(np.float64)
+                except NotImplementedError:
+                    continue
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                rgb = arr[:, :, :3] if arr.shape[2] >= 3 else \
+                    np.repeat(arr[:, :, :1], 3, axis=2)
+                lum = rgb.mean(axis=2)
+                hist = np.histogram(lum, bins=8, range=(0, 256))[0]
+                hist = (hist / max(lum.size, 1)).tolist()
+                rows.append((r.image_id, float(rgb[:, :, 0].mean()),
+                             float(rgb[:, :, 1].mean()),
+                             float(rgb[:, :, 2].mean()),
+                             float(lum.std()), hist))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "mean_r", "mean_g", "mean_b", "std_lum", "hist"])
+
+    return images_df.select("image_id", "bytes", "fmt").mapInPandas(
+        gen, schema=IMAGE_FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = ("video_id string, frame_idx int, t_ms long, w int, h int, "
+                "frame_png binary")
+
+
+def sample_frames(videos_df: DataFrame, every_n: int = 10,
+                  max_frames: int = 16, fps: float = 30.0,
+                  frame_w: int = 16, frame_h: int = 16) -> DataFrame:
+    """Video frame sampling: every Nth frame, fan-out bounded by
+    ``max_frames`` rows per video (the explode stays bounded no matter the
+    clip length — the scale guard). Decode is the deterministic stub; frame
+    payloads re-encode as real PNG.
+
+    videos_df: (video_id string, bytes binary, n_frames int)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("video_id", "frame_idx", "t_ms", "w", "h",
+                                   "frame_png")}
+            for r in pdf.itertuples(index=False):
+                idxs = list(range(0, int(r.n_frames), every_n))[:max_frames]
+                if not idxs:
+                    continue
+                # STUB decode: one deterministic "frame" per sampled index
+                flat = fake_media_decode(bytes(r.bytes),
+                                         len(idxs) * frame_w * frame_h, 3)
+                frames = ((flat.reshape(len(idxs), frame_h, frame_w, 3)
+                           * 0.5 + 0.5) * 255).astype(np.uint8)
+                for k, fi in enumerate(idxs):
+                    out["video_id"].append(r.video_id)
+                    out["frame_idx"].append(fi)
+                    out["t_ms"].append(int(fi / fps * 1000))
+                    out["w"].append(frame_w)
+                    out["h"].append(frame_h)
+                    out["frame_png"].append(png_encode(frames[k]))
+            yield pd.DataFrame(out)
+
+    return videos_df.select("video_id", "bytes", "n_frames").mapInPandas(
+        gen, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = ("audio_id string, window_idx int, start_ms long, "
+                "rms double, peak double")
+
+
+def audio_windows(audio_df: DataFrame, window_ms: int = 250,
+                  sample_rate: int = 16000,
+                  max_windows: int = 64) -> DataFrame:
+    """Audio feature extraction: fixed-length windows with RMS energy and
+    peak (bounded fan-out). Decode is the deterministic stub.
+
+    audio_df: (audio_id string, bytes binary, n_samples int)."""
+    win = int(sample_rate * window_ms / 1000)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n = min(int(r.n_samples), win * max_windows)
+                if n < win:
+                    continue
+                samples = fake_media_decode(bytes(r.bytes), n)[:, 0]
+                k = n // win
+                w = samples[:k * win].reshape(k, win)
+                rms = np.sqrt((w.astype(np.float64) ** 2).mean(axis=1))
+                peak = np.abs(w).max(axis=1).astype(np.float64)
+                for i in range(k):
+                    rows.append((r.audio_id, i, int(i * window_ms),
+                                 float(rms[i]), float(peak[i])))
+            yield pd.DataFrame(rows, columns=[
+                "audio_id", "window_idx", "start_ms", "rms", "peak"])
+
+    return audio_df.select("audio_id", "bytes", "n_samples").mapInPandas(
+        gen, schema=AUDIO_SCHEMA)
+
+
+def phash_dedup_pairs(images_df: DataFrame, max_hamming: int = 3,
+                      bands: int = 4,
+                      id_col: str = "image_id",
+                      hash_col: str = "phash") -> DataFrame:
+    """Image near-dup candidates from the perceptual-hash column: the same
+    banded Hamming-ball pigeonhole join as the SimHash text dedup —
+    max_hamming < bands guarantees every pair within the ball shares an
+    exact 16-bit slice; exact bit_count(XOR) prunes. All JVM column
+    algebra. Output: (id_a, id_b, hamming)."""
+    assert max_hamming < bands
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = images_df.select(
+        F.col(id_col).alias("iid"), F.col(hash_col).alias("h"),
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(hash_col, b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ])).alias("band", "slice"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.slice") == F.col("b.slice"))
+               & (F.col("a.iid") < F.col("b.iid")))
+        .select(F.col("a.iid").alias("id_a"), F.col("b.iid").alias("id_b"),
+                ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

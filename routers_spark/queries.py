@@ -1053,6 +1053,38 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs, n_hashes=8, bands=2, threshold=0.5)
 
 
+@nosql_query("image_features")
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: decode → channel means + luminance
+    histogram over the synthetic image corpus (PNG path is a real codec)."""
+    from routers_spark.fixtures.images import generate_images
+    from routers_spark.pipeline.multimodal import image_features
+
+    n = min(500, max(100, _sf_scale(spark, sf_dir) // 20))
+    images = spark.createDataFrame(generate_images(n, seed=42))
+    return image_features(images)
+
+
+@nosql_query("phash_dedup_pairs")
+def _q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs (banded Hamming-ball join) over
+    the image corpus with deterministically planted near-duplicates
+    (brute-force parity asserted in pytest)."""
+    from pyspark.sql import functions as F
+
+    from routers_spark.fixtures.images import generate_images
+    from routers_spark.pipeline.multimodal import phash_dedup_pairs
+
+    n = min(2000, max(200, _sf_scale(spark, sf_dir) // 5))
+    images = spark.createDataFrame(
+        generate_images(n, seed=42).loc[:, ["image_id", "phash"]])
+    # plant near-dups: every 10th image gets a 2-bit-flipped twin
+    twins = (images.filter(F.expr("pmod(CAST(substring(image_id, 4) AS BIGINT), 10) = 0"))
+             .select(F.concat(F.lit("dup"), "image_id").alias("image_id"),
+                     F.expr("phash ^ 5").alias("phash")))
+    return phash_dedup_pairs(images.unionByName(twins), max_hamming=3)
+
+
 @nosql_query("embedding_dedup")
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup canonical ids (LSH bucket self-join +

@@ -1,0 +1,96 @@
+"""Multimodal operators: real Spark plumbing (schemas, Arrow batches,
+bounded fan-out), real PNG decode path, clearly-stubbed media decode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from routers_spark.functions.raster import png_decode, png_encode
+from routers_spark.pipeline.multimodal import (
+    audio_windows,
+    fake_media_decode,
+    image_features,
+    phash_dedup_pairs,
+    sample_frames,
+)
+
+
+def test_fake_media_decode_contract():
+    a = fake_media_decode(b"payload-one", 256, 3)
+    assert a.shape == (256, 3) and a.dtype == np.float32
+    assert (a >= -1).all() and (a < 1).all()
+    # deterministic per payload, distinct across payloads
+    assert np.array_equal(a, fake_media_decode(b"payload-one", 256, 3))
+    assert not np.array_equal(a, fake_media_decode(b"payload-two", 256, 3))
+
+
+def test_image_features_real_png(spark):
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, :, 0] = 200  # pure-ish red
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["a"], "bytes": [png_encode(img)],
+                      "fmt": ["png"]}))
+    out = image_features(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.mean_r == 200.0 and r.mean_g == 0.0 and r.mean_b == 0.0
+    assert len(r.hist) == 8 and abs(sum(r.hist) - 1.0) < 1e-9
+
+
+def test_sample_frames_bounded_fanout(spark):
+    vids = spark.createDataFrame(pd.DataFrame({
+        "video_id": ["v1", "v2", "v3"],
+        "bytes": [b"clip-1", b"clip-2", b"tiny"],
+        "n_frames": [300, 1000000, 5],  # v2: a "long clip" must stay bounded
+    }))
+    out = sample_frames(vids, every_n=10, max_frames=16).toPandas()
+    per = out.groupby("video_id").size().to_dict()
+    assert per["v1"] == 16 and per["v2"] == 16 and per["v3"] == 1
+    # frames are real PNGs with the declared shape; timestamps follow fps
+    r = out[out.video_id == "v1"].iloc[3]
+    assert png_decode(bytes(r.frame_png)).shape == (r.h, r.w, 3)
+    assert r.t_ms == int(r.frame_idx / 30.0 * 1000)
+    # deterministic across runs
+    again = sample_frames(vids, every_n=10, max_frames=16).toPandas()
+    assert out.sort_values(["video_id", "frame_idx"]).frame_png.tolist() == \
+        again.sort_values(["video_id", "frame_idx"]).frame_png.tolist()
+
+
+def test_audio_windows(spark):
+    aud = spark.createDataFrame(pd.DataFrame({
+        "audio_id": ["a1", "a2"],
+        "bytes": [b"wave-1", b"wave-2"],
+        "n_samples": [16000, 1000],  # a2 shorter than one window -> dropped
+    }))
+    out = audio_windows(aud, window_ms=250, sample_rate=16000).toPandas()
+    assert set(out.audio_id) == {"a1"}
+    assert len(out) == 4  # 1 s / 250 ms
+    assert (out.rms > 0).all() and (out.peak >= out.rms).all()
+    assert list(out.start_ms) == [0, 250, 500, 750]
+
+
+def test_phash_dedup_pairs_matches_brute(spark):
+    rng = np.random.default_rng(31)
+    hashes = rng.integers(-(2**62), 2**62, 30).tolist()
+    # plant near-dups: flip 2 bits of hash 0, 5 bits of hash 1
+    h0 = hashes[0]
+    hashes.append(h0 ^ 0b101)                     # distance 2 -> pair
+    h1 = hashes[1]
+    hashes.append(h1 ^ 0b11111)                   # distance 5 -> no pair
+    ids = [f"img{i:03d}" for i in range(len(hashes))]
+    df = spark.createDataFrame(pd.DataFrame({"image_id": ids, "phash": hashes}))
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in phash_dedup_pairs(df, max_hamming=3).collect()}
+    import itertools
+
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(zip(ids, hashes), 2):
+        d = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if d <= 3:
+            key = (ia, ib) if ia < ib else (ib, ia)
+            want[key] = d
+    assert got == want
+    assert ("img000", "img030") in got and got[("img000", "img030")] == 2
+    assert ("img001", "img031") not in got
