@@ -38,6 +38,11 @@ HEADLINE_SQL = [
     "embedding_topk_cosine",
     "zone_assign_cells",
     "access_eval",
+    "way_edge_expansion",
+    "tile_range_scan",
+    "geo_route_assign",
+    "phash_hamming_pairs",
+    "token_counts",
 ]
 HEADLINE_ENGINE = [
     "map_match_discretized",

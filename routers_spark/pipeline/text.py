@@ -84,12 +84,17 @@ def with_quality(docs_df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_token_counts(docs_df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + BPE-ish regex tokens, both JVM-side."""
+    """Whitespace tokens + BPE-ish regex tokens, both JVM-side.
+
+    The regex goes through ``F.lit`` (not an ``F.expr`` string literal —
+    Spark SQL unescapes ``\\s`` inside single quotes, silently turning the
+    whitespace class into a literal ``s``; caught by the token_counts
+    driver oracle)."""
     t = F.col(text_col)
     return (
         docs_df.withColumn("ws_tokens", F.size(F.split(F.trim(t), r"\s+")))
         .withColumn("bpe_tokens",
-                    F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_TOKEN_RE}', 0)")))
+                    F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), F.lit(0))))
     )
 
 

@@ -901,6 +901,42 @@ FROM documents
 """
 
 
+@sql_query("token_counts")
+def _q_token_counts(dialect: str) -> str:
+    """Token counting (whitespace split + the BPE-ish pre-tokenizer regex):
+    the Spark side is the engine operator (pipeline/text.py
+    with_token_counts); this oracle restates both counts per dialect."""
+    from routers_spark.pipeline.text import BPE_TOKEN_RE
+
+    if dialect == "spark":
+        bpe = BPE_TOKEN_RE.replace("\\", "\\\\")
+        ws_cnt = "size(split(trim(text), '\\\\s+'))"
+        bpe_cnt = f"size(regexp_extract_all(text, '{bpe}', 0))"
+    else:
+        ws_cnt = "len(string_split_regex(trim(text), '\\s+'))"
+        bpe_cnt = f"len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({ws_cnt} AS BIGINT) AS ws_tokens,
+       CAST({bpe_cnt} AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def _token_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from routers_spark.pipeline.text import with_token_counts
+
+    register_views(spark, sf_dir)
+    docs = spark.sql("SELECT CAST(doc_id AS BIGINT) AS doc_id, text"
+                     " FROM documents")
+    return with_token_counts(docs).select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"))
+
+
 @sql_query("lang_id_stopwords")
 def _q_lang(dialect: str) -> str:
     """Language-ID heuristic: per-language stopword mass via regex replace
@@ -943,6 +979,265 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CASE WHEN {best_hits} > 0 THEN {best} ELSE 'unknown' END AS lang_guess
 FROM h
 """
+
+
+# ----------------------------------------------- network build & routing
+
+
+def _hw_case(key: str) -> str:
+    """Deterministic highway class per way: 20-entry pick list = the 16
+    valid roadways + 4 non-road classes (so the S3 filter is exercised)."""
+    from routers_spark.config import VALID_ROADWAYS
+
+    pick = list(VALID_ROADWAYS) + ["footway", "cycleway", "path", "steps"]
+    whens = " ".join(f"WHEN {i} THEN '{c}'" for i, c in enumerate(pick))
+    return f"(CASE ({key} % 20) {whens} END)"
+
+
+def _wt_case(hw: str) -> str:
+    from routers_spark.config import ROAD_CLASS_WEIGHT
+
+    whens = " ".join(f"WHEN '{c}' THEN {w}"
+                     for c, w in ROAD_CLASS_WEIGHT.items())
+    return f"(CASE {hw} {whens} ELSE 100 END)"
+
+
+@sql_query("way_edge_expansion")
+def _q_way_edges(dialect: str) -> str:
+    """S2/S3: way→edge expansion with the highway whitelist filter and the
+    bidirectional reversed twin (graph.rs:226-252), over a ways table
+    derived from lineitem (way = order, refs = parts by line number).
+    The Spark side is the ENGINE operator (graph/build.py ways_to_edges);
+    this oracle is the windowed-SQL restatement."""
+    from routers_spark.config import VALID_ROADWAYS
+
+    valid = ", ".join(f"'{c}'" for c in VALID_ROADWAYS)
+    return f"""
+WITH pairs AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS way_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_partkey) - 1
+              AS BIGINT) AS pos,
+         CAST(l_partkey AS BIGINT) AS a,
+         CAST(LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber, l_partkey)
+              AS BIGINT) AS b,
+         (l_orderkey % 3 = 0) AS oneway,
+         {_hw_case("l_orderkey")} AS highway
+  FROM lineitem
+),
+edges AS (
+  SELECT CAST(way_id * 65536 + pos AS BIGINT) AS edge_id, a, b, oneway,
+         CAST({_wt_case("highway")} AS BIGINT) AS weight
+  FROM pairs
+  WHERE b IS NOT NULL AND highway IN ({valid})
+)
+SELECT edge_id, a AS src, b AS dst, weight, TRUE AS fwd FROM edges
+UNION ALL
+SELECT edge_id, b AS src, a AS dst, weight, FALSE AS fwd
+FROM edges WHERE NOT oneway
+"""
+
+
+def _way_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of way_edge_expansion: the engine's S2/S3 DataFrame
+    operator (posexplode + lead window + whitelist + reversed-twin union)
+    over the identical derived ways table."""
+    from pyspark.sql import functions as F
+
+    from routers_spark.graph.build import ways_to_edges
+
+    register_views(spark, sf_dir)
+    ways = spark.sql(f"""
+        SELECT way_id,
+               transform(array_sort(collect_list(struct(ln, node))),
+                         s -> s.node) AS refs,
+               {_hw_case("way_id")} AS highway,
+               (way_id % 3 = 0) AS oneway
+        FROM (SELECT CAST(l_orderkey AS BIGINT) AS way_id,
+                     l_linenumber AS ln,
+                     CAST(l_partkey AS BIGINT) AS node
+              FROM lineitem)
+        GROUP BY way_id
+    """)
+    e = ways_to_edges(ways)
+    return e.select(
+        F.col("edge_id").cast("long").alias("edge_id"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("weight").cast("long").alias("weight"),
+        "fwd",
+    )
+
+
+@sql_query("tile_range_scan")
+def _q_tile_range(dialect: str) -> str:
+    """S8 range-pruned tile scan: hilbert keys of the z9 fragment (87,204)'s
+    z12 descendants are one contiguous range [h<<6, (h+1)<<6) — the
+    BigTable RowRange analog (bigtable.rs:311-320, range.rs:207-237). The
+    Spark side is the engine's with_tile_columns + scan_tile_range (BETWEEN
+    pushed into the scan); this oracle restates the filter over the same
+    hilbert CTE program."""
+    from routers_spark.tiling.pipeline import fragment_hilbert_range
+
+    d = _d(dialect)
+    lo, hi = fragment_hilbert_range(9, 87, 204, 12)
+    x, y = sqlgen.slippy_xy_expr(d, EVENT_LON, EVENT_LAT, 12)
+    src = (
+        f"SELECT CAST(event_id AS BIGINT) AS event_id, {x} AS tx, {y} AS ty"
+        f" FROM events"
+    )
+    inner = sqlgen.hilbert_xy2h_cte_sql(d, src, "tx", "ty", 12, ["event_id"])
+    # Fence the filter from the 12-level CTE program: an optimizer that
+    # inlines CTEs (DuckDB; Catalyst does the same to projection chains)
+    # would substitute the whole per-level expression into the pushed-down
+    # predicate and blow up exponentially — the stored-column semantics
+    # (S8: hilbert is a physical sort key) are a materialization anyway.
+    if dialect == "duckdb":
+        return (
+            f"WITH keyed AS MATERIALIZED (\n{inner}\n)"
+            f" SELECT event_id, hilbert FROM keyed"
+            f" WHERE hilbert BETWEEN {lo} AND {hi}"
+        )
+    return (
+        f"SELECT event_id, hilbert FROM ({inner}) t"
+        f" WHERE hilbert BETWEEN {lo} AND {hi}"
+    )
+
+
+def _tile_range_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine side of tile_range_scan: hilbert keys via the numpy kernel in
+    one Arrow pass (at scale the tile table STORES this column and the
+    BETWEEN prunes parquet files — tests/test_build_shard_scan.py shows the
+    PushedFilters; deriving it inline through the JVM withColumns chain and
+    then filtering would make Catalyst inline the 12-level program into the
+    pushed predicate, exploding the optimizer)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from routers_spark.functions.cells import hilbert_xy2h_np, slippy_xy_np
+    from routers_spark.tiling.pipeline import scan_tile_range
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(
+        f"SELECT CAST(event_id AS BIGINT) AS event_id, {EVENT_LON} AS lon,"
+        f" {EVENT_LAT} AS lat FROM events")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x, y = slippy_xy_np(pdf["lon"].values.astype(np.float64),
+                                pdf["lat"].values.astype(np.float64), 12)
+            h = hilbert_xy2h_np(x, y, 12).astype(np.int64)
+            yield pd.DataFrame({"event_id": pdf["event_id"].values,
+                                "hilbert": h})
+
+    tiles = pts.mapInPandas(gen, schema="event_id long, hilbert long")
+    return scan_tile_range(tiles, 9, 87, 204, storage_zoom=12)
+
+
+_GEO_ROUTE_HOT = 1000  # rows per gh4 cell beyond which the lane is salted
+
+
+@sql_query("geo_route_assign")
+def _q_geo_route(dialect: str) -> str:
+    """R10 geo routing of work: shard = geohash-4 of the point (the
+    events.match.<hash> subject key, event.rs:245-252); cells holding more
+    than the hot threshold are salted into 4 sub-lanes by splitmix64 of the
+    event key (north-rule skew handling). Spark side = the engine's
+    streaming/routing.py (numpy kernels in one Arrow pass + tiny broadcast
+    count join)."""
+    from routers_spark.functions.hashing import splitmix64_sql
+
+    d = _d(dialect)
+    p = sqlgen.Program("SELECT event_id FROM events", ["event_id"])
+    gh4 = sqlgen.p_geohash_str(p, d, EVENT_LON, EVENT_LAT, 4)
+    inner = p.render([
+        "CAST(event_id AS BIGINT) AS event_id", f"{gh4} AS shard"])
+    salt = f"({splitmix64_sql('l.event_id', dialect)} & 3)"
+    return f"""
+WITH lanes AS ({inner}),
+counts AS (SELECT shard, COUNT(*) AS n_in_cell FROM lanes GROUP BY shard)
+SELECT l.event_id AS event_id, l.shard AS shard,
+       CAST(CASE WHEN c.n_in_cell > {_GEO_ROUTE_HOT} THEN {salt}
+                 ELSE 0 END AS BIGINT) AS salt
+FROM lanes l JOIN counts c ON l.shard = c.shard
+"""
+
+
+def _geo_route_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from routers_spark.streaming.routing import route_assignments
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(
+        f"SELECT CAST(event_id AS BIGINT) AS event_id, {EVENT_LON} AS lon,"
+        f" {EVENT_LAT} AS lat FROM events")
+    return route_assignments(pts, hot_threshold=_GEO_ROUTE_HOT,
+                             salt_buckets=4)
+
+
+@sql_query("phash_hamming_pairs")
+def _q_phash_hamming(dialect: str) -> str:
+    """Perceptual-hash Hamming-ball near-dup pairs: corpus = splitmix64 of
+    doc_id as the 64-bit phash plus a 2-bit-flipped twin for every 10th doc;
+    pairs within Hamming ≤ 3. The Spark side is the engine's banded
+    pigeonhole equi-join (pipeline/multimodal.py phash_dedup_pairs); this
+    oracle is the brute-force all-pairs restatement (equal by the
+    max_hamming < bands guarantee)."""
+    from routers_spark.functions.hashing import splitmix64_sql
+
+    sm = splitmix64_sql("CAST(doc_id AS BIGINT)", dialect)
+    xor = (lambda a, b: f"({a} ^ {b})") if dialect == "spark" \
+        else (lambda a, b: f"xor({a}, {b})")
+    ham = f"bit_count({xor('a.phash', 'b.phash')})"
+    return f"""
+WITH c AS (
+  SELECT CAST(doc_id AS BIGINT) AS pid, {sm} AS phash FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 10000000 AS BIGINT) AS pid,
+         {xor(f"({sm})", "5")} AS phash
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT a.pid AS id_a, b.pid AS id_b, CAST({ham} AS BIGINT) AS hamming
+FROM c a JOIN c b ON a.pid < b.pid
+WHERE {ham} <= 3
+"""
+
+
+def _phash_hamming_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of phash_hamming_pairs: derive the identical corpus with
+    the numpy splitmix kernel in one Arrow pass, then the engine's banded
+    Hamming join."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from routers_spark.functions.hashing import mix_np
+    from routers_spark.pipeline.multimodal import phash_dedup_pairs
+
+    register_views(spark, sf_dir)
+    docs = spark.sql("SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].values.astype(np.int64)
+            ph = mix_np(ids.astype(np.uint64)).view(np.int64)
+            tw = ids % 10 == 0
+            yield pd.concat([
+                pd.DataFrame({"pid": ids, "phash": ph}),
+                pd.DataFrame({"pid": ids[tw] + 10000000,
+                              "phash": ph[tw] ^ np.int64(5)}),
+            ], ignore_index=True)
+
+    corpus = docs.mapInPandas(gen, schema="pid long, phash long")
+    out = phash_dedup_pairs(corpus, max_hamming=3, bands=4,
+                            id_col="pid", hash_col="phash")
+    return out.select(F.col("id_a").cast("long").alias("id_a"),
+                      F.col("id_b").cast("long").alias("id_b"),
+                      "hamming")
 
 
 # ------------------------------------- non-SQL-expressible operators
@@ -1151,6 +1446,11 @@ _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_engine": _minhash_engine_spark,
     "simhash_dedup_pairs": _simhash_dedup_spark,
     "spatial_cell_join": _spatial_cell_join_spark,
+    "way_edge_expansion": _way_edges_spark,
+    "tile_range_scan": _tile_range_spark,
+    "geo_route_assign": _geo_route_spark,
+    "phash_hamming_pairs": _phash_hamming_spark,
+    "token_counts": _token_counts_spark,
 }
 
 

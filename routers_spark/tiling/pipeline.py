@@ -31,7 +31,14 @@ def with_tile_columns(df: DataFrame, zoom: int, lon: str = "lon",
                       lat: str = "lat") -> DataFrame:
     """tile_x/tile_y/hilbert at ``zoom`` as JVM-side column expressions
     (T1/T3). The hilbert key is the cluster/sort column enabling
-    range-pruned tile scans (S8)."""
+    range-pruned tile scans (S8).
+
+    MATERIALIZE before filtering on ``hilbert`` (write the tile table, or
+    compute via the numpy kernel ``cells.hilbert_xy2h_np`` in an Arrow
+    pass): a filter applied directly on top of this chain makes Catalyst
+    inline the per-level program into the pushed-down predicate, and the
+    expression tree grows exponentially with zoom. At scale the key is a
+    stored column anyway — that is what makes the BETWEEN prune files."""
     S = sqlgen.SPARK
     x_sql, y_sql = sqlgen.slippy_xy_expr(S, lon, lat, zoom)
     df = df.withColumn("tile_x", F.expr(x_sql)).withColumn("tile_y", F.expr(y_sql))
