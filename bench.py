@@ -50,6 +50,7 @@ HEADLINE_ENGINE = [
     "mvt_point_tiles",
     "dbscan_clusters",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_dedup",
     "image_features",
     "phash_dedup_pairs",

@@ -2,10 +2,15 @@
 
   - ``brute_topk_cosine``: exact baseline — block-matmul numpy inside
     ``mapInPandas`` against a broadcast query matrix (no shuffle).
-  - ``lsh_topk_cosine``: the scale path — random-hyperplane sign buckets
+  - ``lsh_topk_cosine``: scale path 1 — random-hyperplane sign buckets
     (SimHash for vectors) turn the all-pairs scan into a bucket equi-join;
     exact cosine re-rank inside buckets. Recall < 1 by design; verified
     against brute force in tests (recall floor asserted).
+  - ``ivf_topk_cosine``: scale path 2 — FAISS-style inverted lists: a
+    spherical-k-means coarse quantizer (trained once on a deterministic
+    distributed sample), one inverted-list row per vector, queries probe
+    their ``nprobe`` nearest lists. ``nprobe == nlist`` degenerates to the
+    exact scan (asserted in tests).
 
 Hyperplanes are derived deterministically from splitmix64 streams — no RNG
 state, so executors regenerate identical planes from the seed alone.
@@ -178,6 +183,138 @@ def embedding_dedup(corpus_df: DataFrame, threshold: float = 0.95,
         .join(canon, "doc_id", "left")
         .select("doc_id", F.coalesce("lbl", "doc_id").alias("canonical_id"))
     )
+
+
+def train_ivf_centroids(corpus_df: DataFrame, nlist: int = 16,
+                        iters: int = 10, sample: int = 4096, seed: int = 11,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> np.ndarray:
+    """IVF coarse quantizer: spherical k-means trained driver-side on a
+    deterministic sample (the standard IVF recipe — train on a sample,
+    assign the full corpus distributed). The sample is the ``sample`` rows
+    with the smallest splitmix64(id) — a stable uniform draw that any
+    executor can reproduce, unlike TABLESAMPLE. Returns L2-normalized
+    (nlist, dim) centroids."""
+    from pyspark.sql.functions import pandas_udf
+
+    from routers_spark.functions.hashing import mix_np
+
+    @pandas_udf("long")
+    def _mix(v: pd.Series) -> pd.Series:
+        # low 63 bits: a signed orderBy key with the same uniform order
+        return pd.Series((mix_np(v.values.astype(np.uint64))
+                          >> np.uint64(1)).astype(np.int64))
+
+    take = (
+        corpus_df.select(id_col, vec_col)
+        .withColumn("_h", _mix(F.col(id_col)))
+        .orderBy("_h", id_col)            # distributed top-`sample` draw
+        .limit(sample)
+        .toPandas()
+    )
+    x = np.stack(take[vec_col].values).astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    # deterministic init: evenly spaced rows of the (id-mixed) sample
+    init_idx = np.linspace(0, len(x) - 1, nlist).astype(int)
+    c = x[init_idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(nlist):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+            # empty list: keep the previous centroid (deterministic)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+    return c
+
+
+def build_ivf_index(corpus_df: DataFrame, centroids: np.ndarray,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Assign every corpus vector to its nearest centroid's inverted list —
+    one narrow Arrow pass against the broadcast quantizer. At scale this is
+    written out partitioned by ``list_id`` and reused across query batches
+    (the persistent IVF index); exactly one row per vector (vs the LSH
+    index's n_tables rows)."""
+    spark = corpus_df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].values).astype(np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                vec_col: pdf[vec_col].values,
+                "list_id": np.argmax(mn @ c.T, axis=1).astype(np.int32),
+            })
+
+    return corpus_df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, {vec_col} array<float>, list_id int")
+
+
+def ivf_topk_cosine(corpus_df: DataFrame, query_vecs: np.ndarray,
+                    query_ids: np.ndarray, k: int = 10, nlist: int = 16,
+                    nprobe: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    centroids: np.ndarray | None = None,
+                    index_df: DataFrame | None = None) -> DataFrame:
+    """IVF ANN: each query probes its ``nprobe`` nearest inverted lists (a
+    tiny broadcast probe table), exact cosine runs only inside the probed
+    lists, window re-rank gives top-k. Work scales with
+    nprobe/nlist of the corpus, not corpus size; ``nprobe == nlist``
+    degenerates to the exact brute scan (asserted in tests). Pass
+    ``centroids``/``index_df`` (persisted) to skip re-training/re-assigning."""
+    spark = corpus_df.sparkSession
+    q = np.asarray(query_vecs, dtype=np.float64)
+    q_ids = np.asarray(query_ids)
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus_df, nlist=nlist,
+                                        id_col=id_col, vec_col=vec_col)
+    if index_df is None:
+        index_df = build_ivf_index(corpus_df, centroids, id_col, vec_col)
+
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    near = np.argsort(-(qn @ centroids.T), axis=1, kind="stable")[:, :nprobe]
+    probe_rows = [
+        (int(near[i, p]), int(q_ids[i]))
+        for i in range(len(q_ids)) for p in range(near.shape[1])
+    ]
+    probes = spark.createDataFrame(probe_rows, "list_id int, query_id long")
+
+    cand = (
+        index_df.join(F.broadcast(probes), "list_id")
+        .select(id_col, vec_col, "query_id")
+    )
+
+    q_sorted = np.sort(q_ids)
+    q_order = np.argsort(q_ids)
+    bq = spark.sparkContext.broadcast((qn[q_order], q_sorted))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qn_, qid_sorted = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].values).astype(np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            qrow = np.searchsorted(qid_sorted, pdf["query_id"].values)
+            cos = np.einsum("ij,ij->i", mn, qn_[qrow])
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].values,
+                "vec_id": pdf[id_col].values,
+                "cosine": cos,
+                "rank": 0,
+            })
+
+    scored = cand.mapInPandas(score, schema=TOPK_SCHEMA)
+    w = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+    return scored.withColumn("rank", w).filter(F.col("rank") <= k)
 
 
 def lsh_topk_cosine(corpus_df: DataFrame, query_vecs: np.ndarray,

@@ -1405,6 +1405,22 @@ def _q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_cosine(emb, q, head["vec_id"].values, k=5)
 
 
+@nosql_query("ann_ivf_topk")
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k cosine: spherical-k-means inverted lists,
+    nprobe-list probe join (recall + exact-degenerate parity asserted in
+    pytest)."""
+    import numpy as np
+
+    from routers_spark.pipeline.similarity import ivf_topk_cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    head = emb.orderBy("vec_id").limit(8).toPandas()
+    q = np.stack(head["embedding"].values).astype(np.float64)
+    return ivf_topk_cosine(emb, q, head["vec_id"].values, k=5,
+                           nlist=16, nprobe=4)
+
+
 # ----------------------------------------------------------------- registry
 
 

@@ -128,6 +128,79 @@ def test_brute_vs_lsh_ann_recall(spark):
     assert recall / 5 >= 0.6
 
 
+def test_ivf_ann_recall_and_exact_degenerate(spark):
+    from routers_spark.pipeline.similarity import (
+        brute_topk_cosine,
+        build_ivf_index,
+        ivf_topk_cosine,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    dim, n_clusters, per = 32, 20, 20
+    centers = rng.normal(size=(n_clusters, dim))
+    corpus = np.repeat(centers, per, axis=0) + rng.normal(
+        scale=0.05, size=(n_clusters * per, dim)
+    )
+    n = len(corpus)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in corpus],
+    })
+    df = spark.createDataFrame(pdf)
+    q = corpus[::per][:5] + rng.normal(scale=0.01, size=(5, dim))
+    q_ids = np.arange(5)
+    brute = brute_topk_cosine(df, q, q_ids, k=5).toPandas()
+
+    cents = train_ivf_centroids(df, nlist=16, sample=256)
+    assert cents.shape == (16, dim)
+    index = build_ivf_index(df, cents).persist()
+
+    # the probed candidate set is a proper subset of the corpus
+    probed = ivf_topk_cosine(df, q, q_ids, k=5, nlist=16, nprobe=2,
+                             centroids=cents, index_df=index)
+    # clustered data: the query's own list holds its true neighbours
+    ann = probed.toPandas()
+    recall = 0.0
+    for i in range(5):
+        b = set(brute[brute.query_id == i]["vec_id"])
+        a = set(ann[ann.query_id == i]["vec_id"])
+        recall += len(a & b) / len(b)
+    assert recall / 5 >= 0.8
+
+    # nprobe == nlist degenerates to the exact brute result
+    full = ivf_topk_cosine(df, q, q_ids, k=5, nlist=16, nprobe=16,
+                           centroids=cents, index_df=index).toPandas()
+    key = ["query_id", "rank"]
+    bs = brute.sort_values(key).reset_index(drop=True)
+    fs = full.sort_values(key).reset_index(drop=True)
+    assert (bs["vec_id"].values == fs["vec_id"].values).all()
+    np.testing.assert_allclose(bs["cosine"].values, fs["cosine"].values,
+                               rtol=0, atol=1e-12)
+    index.unpersist()
+
+
+def test_ivf_index_partitions_corpus(spark):
+    from routers_spark.pipeline.similarity import (
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    corpus = rng.normal(size=(300, 16))
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(300, dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in corpus],
+    })
+    df = spark.createDataFrame(pdf)
+    cents = train_ivf_centroids(df, nlist=8, sample=128)
+    idx = build_ivf_index(df, cents).toPandas()
+    # exactly one inverted-list row per vector (vs n_tables for LSH)
+    assert len(idx) == 300 and idx["vec_id"].nunique() == 300
+    assert idx["list_id"].between(0, 7).all()
+    assert idx["list_id"].nunique() >= 4  # quantizer actually spreads
+
+
 def test_text_analysis_spark(spark, docs):
     from routers_spark.pipeline.text import (
         with_fingerprints,
