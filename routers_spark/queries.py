@@ -46,6 +46,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     #   wrapping — legacy arithmetic is part of their contract;
     # - deep CTE chains (bit-twiddling programs) need more analyzer sweeps
     #   than the default 100. Both are runtime-settable SQLConfs.
+    import os
+
+    try:
+        # a vanilla session keeps the 200 default: 200 tiny tasks per
+        # aggregate at oracle scale is pure scheduling overhead. Size to the
+        # box — but never touch a session that set it deliberately
+        # (bench/tests size it to cores).
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(min(64, (os.cpu_count() or 4) * 2)))
+    except Exception:  # noqa: BLE001
+        pass
     for k, v in (("spark.sql.ansi.enabled", "false"),
                  ("spark.sql.analyzer.maxIterations", "1000"),
                  ("spark.sql.session.timeZone", "UTC")):

@@ -119,6 +119,31 @@ def test_with_tile_columns_matches_numpy(spark):
                           hilbert_xy2h_np(tx, ty, 12))
 
 
+def test_assign_tile_cells_matches_jvm_form(spark):
+    """The fused numpy fast path ≡ the JVM expression program (both also
+    pinned to DuckDB by the tile_hilbert_key / cell_encode_geohash
+    oracles)."""
+    from routers_spark.functions.cells import geohash_str_np
+    from routers_spark.tiling.pipeline import assign_tile_cells, with_tile_columns
+
+    pdf = pd.DataFrame({
+        "pid": np.arange(60, dtype=np.int64),
+        "lon": np.linspace(-118.5, -118.0, 60),
+        "lat": np.linspace(33.7, 34.1, 60),
+    })
+    df = spark.createDataFrame(pdf)
+    fast = assign_tile_cells(df, zoom=12, gh_precision=6) \
+        .toPandas().sort_values("pid").reset_index(drop=True)
+    jvm = with_tile_columns(df, 12).toPandas() \
+        .sort_values("pid").reset_index(drop=True)
+    assert np.array_equal(fast["tile_x"].values, jvm["tile_x"].values)
+    assert np.array_equal(fast["tile_y"].values, jvm["tile_y"].values)
+    assert np.array_equal(fast["hilbert"].values, jvm["hilbert"].values)
+    assert (fast["gh"].values == geohash_str_np(
+        pdf["lon"].values, pdf["lat"].values, 6)).all()
+    assert list(fast.columns) == ["pid", "gh", "tile_x", "tile_y", "hilbert"]
+
+
 def test_raster_pyramid_spark(spark):
     from routers_spark.fixtures.images import generate_images
     from routers_spark.functions.raster import (

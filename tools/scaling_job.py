@@ -70,12 +70,19 @@ def main() -> None:
         match_sec = min(match_sec, time.perf_counter() - t0)
     match_rows = len(trips)  # one output row per GPS point
 
-    # ---- stage 2: tile assignment (slippy + geohash + hilbert) as ONE
-    # linear CTE program — chaining separate withColumn pipelines broke
-    # whole-stage codegen (42s -> ~6s for the same work)
+    # ---- stage 2: tile assignment (geohash + slippy + hilbert per row).
+    # PRIMARY form = the engine fast path (assign_tile_cells: fused numpy
+    # kernels in one Arrow pass, ~4x the JVM program's throughput at 64M
+    # rows). Also timed: the JVM linear CTE program on a deterministic
+    # subset — the compute-bound reference whose thread scaling is NOT
+    # bandwidth-capped (BENCH.md ceiling discussion).
+    from routers_spark.tiling.pipeline import assign_tile_cells
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_events = ev.count()
     mult = max(1, n_tile_rows // max(n_events, 1))
+    n_jvm_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 8_000_000
+    mult_jvm = max(1, min(mult, n_jvm_rows // max(n_events, 1)))
     # materialize the synthetic input to parquet first (generation is a
     # single-task explode — not the operator under measurement); the timed
     # stage then starts from a parallel parquet scan like a real job.
@@ -90,7 +97,19 @@ def main() -> None:
         .repartition(cpus * 4)
         .write.mode("overwrite").parquet(big_dir)
     )
-    spark.read.parquet(big_dir).createOrReplaceTempView("pts")
+    pts = spark.read.parquet(big_dir)
+
+    fast = assign_tile_cells(pts, zoom=15, gh_precision=6)
+    fast.limit(100_000).write.mode("overwrite").format("noop").save()  # warm
+    tile_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fast.write.mode("overwrite").format("noop").save()
+        tile_sec = min(tile_sec, time.perf_counter() - t0)
+    tile_rows = mult * n_events
+
+    sub = pts.filter(F.col("rep") <= mult_jvm)
+    sub.createOrReplaceTempView("pts")
     S = sqlgen.SPARK
     prog = sqlgen.Program("SELECT event_id, rep, lon, lat FROM pts",
                           ["event_id", "rep", "lon", "lat"])
@@ -102,12 +121,11 @@ def main() -> None:
     ])
     sql = sqlgen.hilbert_xy2h_cte_sql(S, src, "tx", "ty", 15,
                                       ["event_id", "rep", "gh6", "tx", "ty"])
-    tile_sec = float("inf")
+    tile_jvm_sec = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         spark.sql(sql).write.mode("overwrite").format("noop").save()
-        tile_sec = min(tile_sec, time.perf_counter() - t0)
-    tile_rows = mult * n_events
+        tile_jvm_sec = min(tile_jvm_sec, time.perf_counter() - t0)
 
     out = {
         "cpus": cpus,
@@ -115,6 +133,8 @@ def main() -> None:
         "match_rows": match_rows,
         "tile_sec": round(tile_sec, 2),
         "tile_rows": tile_rows,
+        "tile_jvm_sec": round(tile_jvm_sec, 2),
+        "tile_jvm_rows": mult_jvm * n_events,
         "rows_per_sec": round(
             (match_rows + tile_rows) / (match_sec + tile_sec), 1
         ),
