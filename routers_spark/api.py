@@ -157,3 +157,19 @@ def route_points(pairs_df: DataFrame, nodes_df: DataFrame,
                 "status"])
 
     return pairs_df.mapInPandas(run, schema=ROUTE_SCHEMA)
+
+
+def edge_lookup(pairs_df: DataFrame, edges_df: DataFrame,
+                src: str = "src", dst: str = "dst") -> DataFrame:
+    """ScanService.Edge ≙ G2 ``edge(a, b) -> Option<Edge>``
+    (graph.rs:346-355; RPC surface scan/v1/service.proto): hydrate each
+    (src, dst) node pair to its directed edge via a broadcast hash join —
+    NULL edge columns when no edge connects the pair (Option::None).
+    The edge table is the broadcast side (dimension-sized); the request
+    stream never shuffles."""
+    from pyspark.sql import functions as F
+
+    e = edges_df.select(
+        F.col("src").alias(src), F.col("dst").alias(dst),
+        F.col("edge_id"), F.col("weight"))
+    return pairs_df.join(F.broadcast(e), [src, dst], "left")

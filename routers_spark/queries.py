@@ -1445,7 +1445,13 @@ def _knn_spark_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     a CTE per reference, and ring_best is referenced twice (union + the
     fallback anti-join) — materializing it once as a persisted view halves
     the heavy work. Composed from the same CTE bodies as the oracle SQL
-    (no string surgery), so results are identical to the one-shot form."""
+    (no string surgery), so results are identical to the one-shot form.
+
+    One more engine-side swap: the per-event winner comes from a
+    ``min(struct(dist_m, s_suppkey))`` HASH AGGREGATE instead of the
+    oracle's ROW_NUMBER window — identical result (struct min is
+    lexicographic = the window's ORDER BY dist_m, s_suppkey), but the agg
+    partial-combines map-side and never sorts the ring join's output."""
     register_views(spark, sf_dir)
     c = _knn_ctes()
 
@@ -1453,18 +1459,27 @@ def _knn_spark_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctes = ",\n".join(f"{n} AS ({c[n]}\n)" for n in names)
         return f"WITH {ctes}\n{final}"
 
+    ring_best_agg = """
+  SELECT event_id, mn.s AS s_suppkey, mn.d AS dist_m
+  FROM (SELECT event_id,
+               min(named_struct('d', dist_m, 's', s_suppkey)) AS mn,
+               min(g_m) AS g_m
+        FROM ring GROUP BY event_id) r
+  WHERE mn.d <= g_m"""
     rb = spark.sql(with_ctes(
-        ["ev", "ev_g", "st", "nbr", "ring", "ring_best"],
-        "SELECT * FROM ring_best")).persist()
+        ["ev", "ev_g", "st", "nbr", "ring"], ring_best_agg)).persist()
     rb.createOrReplaceTempView("ring_best")
     # the fallback still needs the cheap ev/ev_g/st CTEs (scans + floors);
     # ring_best inside resolves to the persisted temp view
+    fallback_best_agg = """
+  SELECT event_id, mn.s AS s_suppkey, mn.d AS dist_m FROM (
+    SELECT event_id, min(named_struct('d', dist_m, 's', s_suppkey)) AS mn
+    FROM fallback GROUP BY event_id) f"""
     return spark.sql(with_ctes(
-        ["ev", "ev_g", "st", "fallback", "fallback_best"],
+        ["ev", "ev_g", "st", "fallback"],
         "SELECT event_id, s_suppkey AS nearest_station, "
         "round(dist_m, 3) AS dist_m FROM "
-        "(SELECT * FROM ring_best UNION ALL "
-        "SELECT * FROM fallback_best) best"))
+        f"(SELECT * FROM ring_best UNION ALL {fallback_best_agg}) best"))
 
 
 _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -102,3 +102,19 @@ def test_dated_range_col(spark):
     exc = df.filter(dated_range_col(F.col("ts"), "2024-01-08", "2024-01-21",
                                     list(range(7)), inclusive=False))
     assert [r.ts_s for r in exc.collect()] == ["2024-01-13 10:00:00"]
+
+
+def test_edge_lookup_hydrates_pairs(spark, road_dfs):
+    from routers_spark.api import edge_lookup
+
+    nodes_df, edges_df, _nodes, _edges = road_dfs
+    e = edges_df.toPandas()
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "src": [int(e["src"][0]), 999],
+        "dst": [int(e["dst"][0]), 998],
+    }))
+    out = edge_lookup(pairs, edges_df).toPandas().sort_values("src")
+    hit = out[out["src"] == int(e["src"][0])].iloc[0]
+    assert hit["edge_id"] == e["edge_id"][0] and hit["weight"] == e["weight"][0]
+    miss = out[out["src"] == 999].iloc[0]
+    assert pd.isna(miss["edge_id"])  # Option::None -> NULL columns
