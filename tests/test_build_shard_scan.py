@@ -110,3 +110,78 @@ def test_hilbert_range_scan_equals_membership(spark):
     assert set(zip(got.x, got.y)) == want
     lo, hi = fragment_hilbert_range(z, 5, 9, sz)
     assert got.hilbert.min() == lo and got.hilbert.max() == hi
+
+
+def test_bucketed_cell_join_is_shuffle_free(spark, tmp_path):
+    """Co-located cell join via bucketing: both sides written with
+    bucketBy(cell) + sortBy share a partitioning, so the equi-join plans
+    WITHOUT an Exchange on either side — the pre-shuffled join the north
+    rule asks for on repeatedly-joined tables (edge covers x point cells).
+    At cluster scale this is the 'bucket the big tables once, join
+    shuffle-free forever' pattern."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    edges = pd.DataFrame({
+        "edge_id": np.arange(2000, dtype=np.int64),
+        "cx": rng.integers(0, 50, 2000).astype(np.int64),
+    })
+    points = pd.DataFrame({
+        "pid": np.arange(3000, dtype=np.int64),
+        "cx": rng.integers(0, 50, 3000).astype(np.int64),
+    })
+    (spark.createDataFrame(edges).write.mode("overwrite")
+     .bucketBy(8, "cx").sortBy("cx")
+     .option("path", str(tmp_path / "bkt_edges"))
+     .saveAsTable("bkt_edges"))
+    (spark.createDataFrame(points).write.mode("overwrite")
+     .bucketBy(8, "cx").sortBy("cx")
+     .option("path", str(tmp_path / "bkt_points"))
+     .saveAsTable("bkt_points"))
+    # disable auto-broadcast so a shuffle WOULD appear if buckets were
+    # ignored (broadcast would hide it)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_edges").join(spark.table("bkt_points"), "cx")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        n = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_edges")
+        spark.sql("DROP TABLE IF EXISTS bkt_points")
+    assert "Exchange" not in plan, plan
+    # oracle: pandas merge
+    assert n == len(edges.merge(points, on="cx"))
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The persisted IVF index partitioned by list_id: a probe filter
+    prunes partitions at the source (PartitionFilters), so a query touches
+    only its nprobe lists' files — the IVF 'inverted read' on disk."""
+    import numpy as np
+    import pandas as pd
+
+    from routers_spark.pipeline.similarity import (
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(13)
+    corpus = rng.normal(size=(400, 16))
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(400, dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in corpus],
+    }))
+    cents = train_ivf_centroids(df, nlist=8, sample=128)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(df, cents).write.mode("overwrite") \
+        .partitionBy("list_id").parquet(path)
+    idx = spark.read.parquet(path)
+    probe = idx.filter("list_id IN (1, 3)")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters")[1][:120], plan
+    got = probe.select("list_id").distinct().toPandas()["list_id"].tolist()
+    assert set(got) <= {1, 3}
