@@ -88,3 +88,81 @@ def test_stream_end_to_end_with_resume(spark, tmp_path):
         if r.ts_us not in merged or r.revision > merged[r.ts_us][0]:
             merged[r.ts_us] = (r.revision, r.edge_id)
     assert [v[1] for _, v in sorted(merged.items())] == expect
+
+
+@pytest.mark.slow
+def test_cell_count_stream_watermark_drops_late(spark, tmp_path):
+    """Windowed per-cell rollup with a watermark: two availableNow passes —
+    the second delivers one in-window row for an OPEN window (counted) and
+    one row far behind the watermark (dropped). Batch parity: the same
+    operator over the union of on-time rows equals the streamed result."""
+    import numpy as np
+
+    from routers_spark.streaming.rollup import cell_count_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    sch = "ts timestamp, lon double, lat double"
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    early = pd.DataFrame({
+        "ts": [base + pd.Timedelta(seconds=s) for s in (10, 20, 70)],
+        "lon": [-118.30, -118.30, -118.30],
+        "lat": [33.90, 33.90, 33.90],
+    })
+    spark.createDataFrame(early, sch).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    def run_pass():
+        q = (
+            cell_count_stream(
+                spark.readStream.schema(sch).parquet(src),
+                window="1 minute", watermark="2 minutes", precision=5)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).outputMode("append").start()
+        )
+        q.awaitTermination(300)
+
+    run_pass()
+    # pass 2: max event time so far is 00:01:10 -> watermark 23:59:10.
+    # A row at 00:01:30 lands in the open [00:01, 00:02) window; a row at
+    # 23:00 of the PREVIOUS day is far behind the watermark once the
+    # watermark advances past it (third pass closes the books).
+    late = pd.DataFrame({
+        "ts": [base + pd.Timedelta(seconds=90),
+               base - pd.Timedelta(hours=1)],
+        "lon": [-118.30, -118.30],
+        "lat": [33.90, 33.90],
+    })
+    spark.createDataFrame(late, sch).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_pass()
+    # a third pass with a fresh far-future row pushes the watermark past
+    # every earlier window so append mode emits them all
+    flush = pd.DataFrame({
+        "ts": [base + pd.Timedelta(hours=2)],
+        "lon": [-118.30], "lat": [33.90],
+    })
+    spark.createDataFrame(flush, sch).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_pass()
+
+    got = spark.read.parquet(out).toPandas()
+    got = got[got["window_start"] >= base]  # ignore the flush row's window
+    counts = {r["window_start"].strftime("%H:%M"): r["n"]
+              for _, r in got.iterrows() if r["window_start"] < base
+              + pd.Timedelta(minutes=5)}
+    # window 00:00 -> 2 on-time rows; window 00:01 -> 70s + the in-window
+    # 90s row = 2. The hour-early row was dropped by the watermark.
+    assert counts == {"00:00": 2, "00:01": 2}
+
+    # batch parity over the rows the stream accepted
+    batch_in = spark.createDataFrame(
+        pd.concat([early, late.iloc[[0]]], ignore_index=True), sch)
+    batch = cell_count_stream(batch_in, window="1 minute",
+                              watermark="2 minutes", precision=5).toPandas()
+    bcounts = {r["window_start"].strftime("%H:%M"): r["n"]
+               for _, r in batch.iterrows()}
+    assert bcounts == counts
