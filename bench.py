@@ -53,6 +53,7 @@ HEADLINE_ENGINE = [
     "ann_ivf_topk",
     "embedding_dedup",
     "image_features",
+    "image_resize",
     "phash_dedup_pairs",
 ]
 

@@ -155,6 +155,60 @@ def audio_windows(audio_df: DataFrame, window_ms: int = 250,
         gen, schema=AUDIO_SCHEMA)
 
 
+RESIZE_SCHEMA = ("image_id string, w int, h int, fmt string, bytes binary, "
+                 "caption string")
+
+
+def resize_images(images_df: DataFrame, out_w: int, out_h: int,
+                  out_fmt: str = "png") -> DataFrame:
+    """Multimodal resize: decode → area-average resample to (out_w, out_h)
+    → re-encode, one narrow Arrow pass (no shuffle, one output row per
+    input). Resampling is deterministic area averaging over the source
+    pixel grid (each output pixel = mean of its covering source box —
+    integer-exact box filter when the ratio is integral, the same math the
+    pyramid uses per octave); captions pass through byte-identical (the
+    input_hint per-row invariant). Undecodable rows are dropped, matching
+    image_features."""
+    def _resample(arr: np.ndarray, ow: int, oh: int) -> np.ndarray:
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, c = arr.shape
+        ye = (np.arange(oh + 1) * h) // oh   # box edges (floor partition)
+        xe = (np.arange(ow + 1) * w) // ow
+        # cumulative-sum area table -> exact box means in O(h*w)
+        ii = np.zeros((h + 1, w + 1, c), dtype=np.float64)
+        ii[1:, 1:] = np.cumsum(np.cumsum(arr.astype(np.float64), 0), 1)
+        s = (ii[ye[1:, None], xe[None, 1:]] - ii[ye[:-1, None], xe[None, 1:]]
+             - ii[ye[1:, None], xe[None, :-1]]
+             + ii[ye[:-1, None], xe[None, :-1]])
+        area = ((ye[1:, None] - ye[:-1, None])
+                * (xe[None, 1:] - xe[None, :-1])).astype(np.float64)
+        out = np.floor(s / area[:, :, None] + 0.5)
+        return np.clip(out, 0, 255).astype(np.uint8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from routers_spark.functions.raster import encode_image
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    arr = decode_image(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    continue
+                small = _resample(arr, out_w, out_h)
+                rows.append((r.image_id, out_w, out_h, out_fmt,
+                             encode_image(small, out_fmt),
+                             getattr(r, "caption", None)))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "w", "h", "fmt", "bytes", "caption"])
+
+    cols = ["image_id", "bytes", "fmt"]
+    if "caption" in images_df.columns:
+        cols.append("caption")
+    return images_df.select(*cols).mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
 def phash_dedup_pairs(images_df: DataFrame, max_hamming: int = 3,
                       bands: int = 4,
                       id_col: str = "image_id",

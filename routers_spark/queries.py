@@ -1392,6 +1392,22 @@ def _q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dedup_pairs(images.unionByName(twins), max_hamming=3)
 
 
+@nosql_query("image_resize")
+def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize: decode → exact area-average resample → re-encode
+    (box-mean parity + caption byte-passthrough asserted in pytest)."""
+    from pyspark.sql import functions as F
+
+    from routers_spark.fixtures.images import generate_images
+    from routers_spark.pipeline.multimodal import resize_images
+
+    n = min(500, max(100, _sf_scale(spark, sf_dir) // 20))
+    images = spark.createDataFrame(generate_images(n, seed=42))
+    out = resize_images(images, 16, 16)
+    return out.select("image_id", "w", "h", "fmt", "caption",
+                      F.md5("bytes").alias("bytes_md5"))
+
+
 @nosql_query("embedding_dedup")
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup canonical ids (LSH bucket self-join +

@@ -94,3 +94,49 @@ def test_phash_dedup_pairs_matches_brute(spark):
     assert got == want
     assert ("img000", "img030") in got and got[("img000", "img030")] == 2
     assert ("img001", "img031") not in got
+
+
+def test_resize_images_exact_box_mean_and_caption_passthrough(spark):
+    from routers_spark.pipeline.multimodal import resize_images
+
+    # 4x4 RGB with known 2x2 block means; integral ratio -> exact box filter
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    pdf = pd.DataFrame({
+        "image_id": ["img1"],
+        "bytes": [png_encode(arr)],
+        "fmt": ["png"],
+        "w": [4], "h": [4],
+        "caption": ["a caption é中"],
+    })
+    out = resize_images(spark.createDataFrame(pdf), 2, 2).toPandas()
+    assert len(out) == 1 and out["w"][0] == 2 and out["h"][0] == 2
+    got = png_decode(bytes(out["bytes"][0]))
+    want = np.floor(
+        arr.astype(np.float64).reshape(2, 2, 2, 2, 3).mean(axis=(1, 3)) + 0.5
+    ).astype(np.uint8)
+    assert np.array_equal(got, want)
+    assert out["caption"][0] == pdf["caption"][0]  # byte-equal passthrough
+
+
+def test_resize_images_non_integral_ratio_shape(spark):
+    from routers_spark.pipeline.multimodal import resize_images
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    pdf = pd.DataFrame({
+        "image_id": ["odd"], "bytes": [png_encode(arr)], "fmt": ["png"],
+        "w": [5], "h": [7],
+    })
+    out = resize_images(spark.createDataFrame(pdf), 3, 4).toPandas()
+    got = png_decode(bytes(out["bytes"][0]))
+    assert got.shape == (4, 3, 3)
+    # exact oracle: per-box means over the floor partition, round half up
+    h, w = 7, 5
+    oh, ow = 4, 3
+    want = np.zeros((oh, ow, 3), dtype=np.uint8)
+    for i in range(oh):
+        for j in range(ow):
+            box = arr[(i * h) // oh:((i + 1) * h) // oh,
+                      (j * w) // ow:((j + 1) * w) // ow].astype(np.float64)
+            want[i, j] = np.floor(box.mean(axis=(0, 1)) + 0.5)
+    assert np.array_equal(got, want)
