@@ -25,17 +25,17 @@ import numpy as np
 from routers_spark.config import DIJKSTRA_BOUND_CM, PREDICATE_CACHE_CAPACITY
 
 
-# per-process CSR adjacency as plain Python lists, one set per graph —
-# numpy scalar indexing in the heap loop cost ~2.5x over list indexing
-# (every popped node scans its successors one edge at a time; this loop is
-# the whole cold-cache cost each executor worker pays, so it bounds the
-# N→4N scaling of the matcher).
-_ADJ: dict[int, dict] = {}
+# CSR adjacency as plain Python lists, attached to the graph object itself
+# (NOT a global dict keyed by id(graph): celljoin churns one graph per trip
+# and CPython reuses freed ids — a global map both leaked and could serve a
+# dead graph's adjacency to its id-successor). Numpy scalar indexing in the
+# heap loop cost ~2.5x over list indexing (every popped node scans its
+# successors one edge at a time; this loop is the whole cold-cache cost
+# each executor worker pays, so it bounds the N→4N scaling of the matcher).
 
 
 def _adj_for(graph):
-    key = id(graph)
-    a = _ADJ.get(key)
+    a = graph._adj_cache
     if a is None:
         erows = graph.csr_edge_row
         a = {
@@ -45,7 +45,7 @@ def _adj_for(graph):
             "len": graph.edge_len_cm[erows].astype(np.int64).tolist(),
             "erow": erows.tolist(),
         }
-        _ADJ[key] = a
+        graph._adj_cache = a
     return a
 
 
@@ -203,7 +203,7 @@ class PredicateCache:
         self._map: OrderedDict[tuple, ParentMap] = OrderedDict()
 
     def query(self, graph, root_idx: int, profile=None) -> ParentMap:
-        key = (id(graph), root_idx, profile)
+        key = (graph.uid, root_idx, profile)
         hit = self._map.get(key)
         if hit is not None:
             self._map.move_to_end(key)

@@ -19,9 +19,13 @@ lifecycle of graph.rs:145-178.
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 
 from routers_spark.functions.geo import haversine_m_np
+
+_GRAPH_UID = itertools.count(1)
 
 
 class PackedGraph:
@@ -48,6 +52,14 @@ class PackedGraph:
                          if edge_fwd is None else np.asarray(edge_fwd, dtype=bool))
         self.edge_access = edge_access  # None = no access metadata anywhere
         self._access_masks: dict[tuple, np.ndarray] = {}
+        # process-unique identity for cross-module caches (predicate LRU
+        # keys). NEVER key such caches by id(graph): celljoin creates and
+        # frees one small graph per trip, and CPython reuses freed ids —
+        # a stale cache entry for a dead graph would serve another graph's
+        # indices (caught as an IndexError at sf0.1; silent wrong answers
+        # were possible when sizes lined up).
+        self.uid = next(_GRAPH_UID)
+        self._adj_cache: dict | None = None  # dijkstra._adj_for attaches here
 
         # per-edge geometry + length (cm, truncated: cache.rs:211 `as u32`)
         self.ax = node_lon[edge_src]

@@ -173,7 +173,7 @@ class VehicleMatcherState:
         # re-weighs only the boundaries its fresh points introduced
         # (weigh/mod.rs:160-168 pending-only recompute; the retained
         # interior boundaries hit the cache)
-        gtok = self.graph_key or str(id(graph))
+        gtok = self.graph_key or f"uid:{graph.uid}"  # never id(): ids recycle
         keys = [(gtok, pos_kept[k], pos_kept[k + 1])
                 for k in range(len(layers) - 1)]
         result = solve_trip(graph, layers, opts, boundary_keys=keys,

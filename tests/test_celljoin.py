@@ -82,3 +82,29 @@ def test_celljoin_never_collects_graph(spark, inputs, monkeypatch):
     monkeypatch.setattr(SparkDF, "toPandas", guard)
     out = match_trips(points_df, nodes_df, edges_df, candidate_path="celljoin")
     assert out.count() > 0  # executes end-to-end without any toPandas
+
+
+@pytest.mark.slow
+def test_celljoin_graph_churn_id_reuse(spark):
+    """Regression: per-trip subgraphs are created and freed by the hundreds
+    inside one worker; caches keyed by id(graph) served a DEAD graph's
+    adjacency to its id-successor (IndexError at sf0.1 — or silently wrong
+    transitions when sizes lined up). Caches now key by graph.uid / attach
+    to the graph object. 300 trips through the celljoin path must match
+    the broadcast path exactly."""
+    from routers_spark.fixtures.roads import grid_network, walk_trips
+    from routers_spark.matching.matcher import match_trips
+
+    nodes, edges = grid_network(30)
+    trips = walk_trips(nodes, edges, n_trips=300, points_per_trip=10, seed=9)
+    points = spark.createDataFrame(trips)
+    nodes_df = spark.createDataFrame(nodes)
+    edges_df = spark.createDataFrame(edges)
+    cj = match_trips(points, nodes_df, edges_df,
+                     candidate_path="celljoin").toPandas()
+    bc = match_trips(points, nodes_df, edges_df).toPandas()
+    key = ["trip_id", "seq"]
+    cj = cj.sort_values(key).reset_index(drop=True)
+    bc = bc.sort_values(key).reset_index(drop=True)
+    assert (cj["edge_id"].values == bc["edge_id"].values).all()
+    assert (cj["status"].values == bc["status"].values).all()
