@@ -46,6 +46,7 @@ HEADLINE_SQL = [
 ]
 HEADLINE_ENGINE = [
     "map_match_discretized",
+    "map_match_celljoin",
     "raster_pyramid_tiles",
     "mvt_point_tiles",
     "dbscan_clusters",

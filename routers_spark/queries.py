@@ -1298,6 +1298,19 @@ def _q_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_trips(points, nodes, edges)
 
 
+@nosql_query("map_match_celljoin")
+def _q_match_celljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M18 over the NO-BROADCAST scale path: distributed padded
+    cell-cover candidate join + per-trip subgraph cogroup — the graph is
+    never collected to the driver and never broadcast (parity with the
+    broadcast path asserted in tests/test_celljoin.py, including the
+    300-graph churn regression)."""
+    from routers_spark.matching.matcher import match_trips
+
+    points, nodes, edges = _fixture_match_inputs(spark, sf_dir)
+    return match_trips(points, nodes, edges, candidate_path="celljoin")
+
+
 @nosql_query("map_match_interpolated")
 def _q_match_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M16 RoutedPath: full driven geometry incl. bridge edges."""
