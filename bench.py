@@ -55,6 +55,8 @@ HEADLINE_ENGINE = [
     "embedding_dedup",
     "image_features",
     "image_resize",
+    "video_frame_sample",
+    "audio_window_features",
     "phash_dedup_pairs",
 ]
 

@@ -1405,6 +1405,48 @@ def _q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dedup_pairs(images.unionByName(twins), max_hamming=3)
 
 
+@nosql_query("video_frame_sample")
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: every-Nth-frame rows with bounded fan-out
+    (≤ max_frames rows per video regardless of clip length). Decode is the
+    clearly-marked deterministic stub (no media libs in this container);
+    frame payloads re-encode as real PNG — shape contract tested in
+    pytest."""
+    from pyspark.sql import functions as F
+
+    from routers_spark.pipeline.multimodal import sample_frames
+
+    n = min(200, max(50, _sf_scale(spark, sf_dir) // 50))
+    videos = spark.range(n).select(
+        F.concat(F.lit("vid"), F.col("id")).alias("video_id"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("bytes"),
+        (F.col("id") % 200 + 30).cast("int").alias("n_frames"),
+    )
+    out = sample_frames(videos, every_n=10, max_frames=8)
+    return out.select("video_id", "frame_idx", "t_ms", "w", "h",
+                      F.md5("frame_png").alias("frame_md5"))
+
+
+@nosql_query("audio_window_features")
+def _q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio windowing: fixed-length windows with RMS/peak,
+    bounded fan-out (deterministic stub decode; window math is real)."""
+    from pyspark.sql import functions as F
+
+    from routers_spark.pipeline.multimodal import audio_windows
+
+    n = min(200, max(50, _sf_scale(spark, sf_dir) // 50))
+    audio = spark.range(n).select(
+        F.concat(F.lit("aud"), F.col("id")).alias("audio_id"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("bytes"),
+        (F.col("id") % 64000 + 8000).cast("int").alias("n_samples"),
+    )
+    out = audio_windows(audio, window_ms=250, max_windows=8)
+    return out.select("audio_id", "window_idx", "start_ms",
+                      F.round("rms", 9).alias("rms"),
+                      F.round("peak", 9).alias("peak"))
+
+
 @nosql_query("image_resize")
 def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize: decode → exact area-average resample → re-encode
