@@ -169,20 +169,29 @@ def resize_images(images_df: DataFrame, out_w: int, out_h: int,
     pyramid uses per octave); captions pass through byte-identical (the
     input_hint per-row invariant). Undecodable rows are dropped, matching
     image_features."""
+    def _edges(n_out: int, n_src: int) -> tuple[np.ndarray, np.ndarray]:
+        """Box bounds per output pixel: the floor partition for downscale;
+        for upscale the floor partition repeats edges (area-0 boxes → 0/0),
+        so the upper bound clamps to at least one source pixel — each
+        output pixel then averages exactly its covering source pixel
+        (pixel replication, the area-average limit)."""
+        lo = (np.arange(n_out) * n_src) // n_out
+        hi = np.maximum(lo + 1, ((np.arange(n_out) + 1) * n_src) // n_out)
+        return lo, hi
+
     def _resample(arr: np.ndarray, ow: int, oh: int) -> np.ndarray:
         if arr.ndim == 2:
             arr = arr[:, :, None]
         h, w, c = arr.shape
-        ye = (np.arange(oh + 1) * h) // oh   # box edges (floor partition)
-        xe = (np.arange(ow + 1) * w) // ow
+        ylo, yhi = _edges(oh, h)   # per-box bounds (may overlap on upscale)
+        xlo, xhi = _edges(ow, w)
         # cumulative-sum area table -> exact box means in O(h*w)
         ii = np.zeros((h + 1, w + 1, c), dtype=np.float64)
         ii[1:, 1:] = np.cumsum(np.cumsum(arr.astype(np.float64), 0), 1)
-        s = (ii[ye[1:, None], xe[None, 1:]] - ii[ye[:-1, None], xe[None, 1:]]
-             - ii[ye[1:, None], xe[None, :-1]]
-             + ii[ye[:-1, None], xe[None, :-1]])
-        area = ((ye[1:, None] - ye[:-1, None])
-                * (xe[None, 1:] - xe[None, :-1])).astype(np.float64)
+        s = (ii[yhi[:, None], xhi[None, :]] - ii[ylo[:, None], xhi[None, :]]
+             - ii[yhi[:, None], xlo[None, :]]
+             + ii[ylo[:, None], xlo[None, :]])
+        area = ((yhi - ylo)[:, None] * (xhi - xlo)[None, :]).astype(np.float64)
         out = np.floor(s / area[:, :, None] + 0.5)
         return np.clip(out, 0, 255).astype(np.uint8)
 

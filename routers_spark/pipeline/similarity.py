@@ -290,6 +290,16 @@ def ivf_topk_cosine(corpus_df: DataFrame, query_vecs: np.ndarray,
         .select(id_col, vec_col, "query_id")
     )
 
+    return _score_and_rank(cand, qn, q_ids, k, id_col, vec_col)
+
+
+def _score_and_rank(cand: DataFrame, qn: np.ndarray, q_ids: np.ndarray,
+                    k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Shared ANN tail (LSH + IVF): exact cosine of each (candidate, query)
+    pair in one Arrow pass against the broadcast normalized queries, then a
+    per-query window re-rank to top-k (ties to the lowest vec_id).
+    ``cand``: (id_col, vec_col, query_id) candidate rows."""
+    spark = cand.sparkSession
     q_sorted = np.sort(q_ids)
     q_order = np.argsort(q_ids)
     bq = spark.sparkContext.broadcast((qn[q_order], q_sorted))
@@ -356,28 +366,4 @@ def lsh_topk_cosine(corpus_df: DataFrame, query_vecs: np.ndarray,
     )
 
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-    q_sorted = np.sort(q_ids)
-    q_order = np.argsort(q_ids)
-    bq = spark.sparkContext.broadcast((qn[q_order], q_sorted))
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qn_, qid_sorted = bq.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.stack(pdf[vec_col].values).astype(np.float64)
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-            qrow = np.searchsorted(qid_sorted, pdf["query_id"].values)
-            cos = np.einsum("ij,ij->i", mn, qn_[qrow])
-            yield pd.DataFrame({
-                "query_id": pdf["query_id"].values,
-                "vec_id": pdf[id_col].values,
-                "cosine": cos,
-                "rank": 0,
-            })
-
-    scored = cand.mapInPandas(score, schema=TOPK_SCHEMA)
-    w = F.row_number().over(
-        Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    )
-    return scored.withColumn("rank", w).filter(F.col("rank") <= k)
+    return _score_and_rank(cand, qn, q_ids, k, id_col, vec_col)

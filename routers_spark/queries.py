@@ -1124,29 +1124,16 @@ def _tile_range_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     PushedFilters; deriving it inline through the JVM withColumns chain and
     then filtering would make Catalyst inline the 12-level program into the
     pushed predicate, exploding the optimizer)."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    from routers_spark.functions.cells import hilbert_xy2h_np, slippy_xy_np
-    from routers_spark.tiling.pipeline import scan_tile_range
+    from routers_spark.tiling.pipeline import assign_tile_cells, scan_tile_range
 
     register_views(spark, sf_dir)
     pts = spark.sql(
         f"SELECT CAST(event_id AS BIGINT) AS event_id, {EVENT_LON} AS lon,"
         f" {EVENT_LAT} AS lat FROM events")
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            x, y = slippy_xy_np(pdf["lon"].values.astype(np.float64),
-                                pdf["lat"].values.astype(np.float64), 12)
-            h = hilbert_xy2h_np(x, y, 12).astype(np.int64)
-            yield pd.DataFrame({"event_id": pdf["event_id"].values,
-                                "hilbert": h})
-
-    tiles = pts.mapInPandas(gen, schema="event_id long, hilbert long")
-    return scan_tile_range(tiles, 9, 87, 204, storage_zoom=12)
+    tiles = assign_tile_cells(pts, zoom=12, gh_precision=None,
+                              keep=["event_id"])
+    return scan_tile_range(tiles, 9, 87, 204, storage_zoom=12) \
+        .select("event_id", "hilbert")
 
 
 _GEO_ROUTE_HOT = 1000  # rows per gh4 cell beyond which the lane is salted

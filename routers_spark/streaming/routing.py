@@ -10,10 +10,11 @@ salted by the stable splitmix64 hash of the event key into
 ``salt_buckets`` sub-lanes, so one dense downtown cell fans out across
 workers instead of pinning a single task.
 
-Scale shape: one Arrow-batched numpy pass for the cell key (no per-row
-Python), a tiny ``groupBy(shard).count()`` aggregate, and a broadcast join
-of that cell-cardinality table back onto the stream — the only wide
-dependency is the final repartition by (shard, salt).
+Scale shape: ONE Arrow-batched numpy pass for the cell key (no per-row
+Python), then a window count over the same pass's output for per-cell
+occupancy — a separate aggregate-and-join would recompute the kernel
+lineage twice. The window's shuffle on shard is the same movement the
+routing repartition needs anyway.
 """
 
 from __future__ import annotations
@@ -54,16 +55,18 @@ def route_assignments(df: DataFrame, id_col: str = "event_id",
 
     lanes = df.select(*keep).mapInPandas(
         gen, schema=f"{id_col} long, shard string, salt_raw long")
-    counts = lanes.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_in_cell"))
-    return (
-        lanes.join(F.broadcast(counts), "shard")
-        .select(
-            F.col(id_col),
-            "shard",
-            F.when(F.col("n_in_cell") > hot_threshold, F.col("salt_raw"))
-            .otherwise(F.lit(0)).cast("long").alias("salt"),
-        )
+    # per-cell occupancy via a window aggregate over the SAME pass output —
+    # a separate groupBy().count() + join would recompute the Arrow lineage
+    # (two full kernel passes); the window's shuffle on shard is work the
+    # routing repartition needs anyway
+    from pyspark.sql.window import Window
+
+    n_in_cell = F.count(F.lit(1)).over(Window.partitionBy("shard"))
+    return lanes.select(
+        F.col(id_col),
+        "shard",
+        F.when(n_in_cell > hot_threshold, F.col("salt_raw"))
+        .otherwise(F.lit(0)).cast("long").alias("salt"),
     )
 
 

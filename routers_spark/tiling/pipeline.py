@@ -74,7 +74,7 @@ def with_tile_columns(df: DataFrame, zoom: int, lon: str = "lon",
 TILE_CELLS_SCHEMA = ("gh string, tile_x long, tile_y long, hilbert long")
 
 
-def assign_tile_cells(df: DataFrame, zoom: int, gh_precision: int = 6,
+def assign_tile_cells(df: DataFrame, zoom: int, gh_precision: int | None = 6,
                       lon: str = "lon", lat: str = "lat",
                       keep: list[str] | None = None) -> DataFrame:
     """The fused tile/cell assignment fast path: geohash + slippy + hilbert
@@ -103,7 +103,8 @@ def assign_tile_cells(df: DataFrame, zoom: int, gh_precision: int = 6,
             la = pdf[lat].values.astype(np.float64)
             tx, ty = _sxy(lo, la, zoom)
             out = {k: pdf[k].values for k in keep}
-            out["gh"] = _gh(lo, la, gh_precision)
+            if gh_precision is not None:
+                out["gh"] = _gh(lo, la, gh_precision)
             out["tile_x"] = tx.astype(np.int64)
             out["tile_y"] = ty.astype(np.int64)
             out["hilbert"] = _h(tx, ty, zoom).astype(np.int64)
@@ -112,7 +113,9 @@ def assign_tile_cells(df: DataFrame, zoom: int, gh_precision: int = 6,
     keep_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields if f.name in keep)
-    schema = (keep_schema + ", " if keep_schema else "") + TILE_CELLS_SCHEMA
+    cells_schema = (TILE_CELLS_SCHEMA if gh_precision is not None
+                    else TILE_CELLS_SCHEMA.split(", ", 1)[1])
+    schema = (keep_schema + ", " if keep_schema else "") + cells_schema
     return df.mapInPandas(gen, schema=schema)
 
 

@@ -140,3 +140,22 @@ def test_resize_images_non_integral_ratio_shape(spark):
                       (j * w) // ow:((j + 1) * w) // ow].astype(np.float64)
             want[i, j] = np.floor(box.mean(axis=(0, 1)) + 0.5)
     assert np.array_equal(got, want)
+
+
+def test_resize_images_upscale_pixel_replication(spark):
+    """Upscale regression: area-0 boxes from the floor partition produced
+    NaN -> undefined uint8 garbage; bounds now clamp to >=1 source pixel,
+    so upscaling replicates pixels (the area-average limit)."""
+    from routers_spark.pipeline.multimodal import resize_images
+
+    arr = np.array([[[10, 20, 30], [200, 210, 220]],
+                    [[50, 60, 70], [90, 100, 110]]], dtype=np.uint8)
+    pdf = pd.DataFrame({
+        "image_id": ["up"], "bytes": [png_encode(arr)], "fmt": ["png"],
+        "w": [2], "h": [2],
+    })
+    out = resize_images(spark.createDataFrame(pdf), 4, 4).toPandas()
+    got = png_decode(bytes(out["bytes"][0]))
+    assert got.shape == (4, 4, 3)
+    want = np.repeat(np.repeat(arr, 2, axis=0), 2, axis=1)
+    assert np.array_equal(got, want)

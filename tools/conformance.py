@@ -43,6 +43,8 @@ def main() -> None:
 
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     warmup = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    if iters < 1:
+        sys.exit("usage: conformance.py [iters >= 1] [warmup >= 0]")
 
     nodes, edges = grid_network(40)
     g = build_packed_graph(nodes, edges).build_cell_index()

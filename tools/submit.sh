@@ -19,7 +19,8 @@ for p in sorted(pathlib.Path("routers_spark").rglob("*.py")):
     zf.write(p, p.as_posix())
 zf.close()
 EOF
-exec spark-submit --master "$MASTER" \
+# no exec: the EXIT trap must fire to clean up the packaged zip
+spark-submit --master "$MASTER" \
   --py-files "$ZIP" \
   --conf spark.sql.shuffle.partitions="$CPUS" \
   --conf spark.sql.adaptive.enabled=true \
