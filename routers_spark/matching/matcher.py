@@ -505,7 +505,8 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
     from routers_spark.config import DIJKSTRA_BOUND_CM
     from routers_spark.shard.partition import (
         candidates_cell_join,
-        trip_subgraph_edges,
+        sig_subgraph_edges,
+        trip_cover_sigs,
     )
 
     cand = candidates_cell_join(
@@ -516,33 +517,41 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
     # pad: bound (cm→m) + search + equirectangular slop so every bounded
     # Dijkstra expansion from any candidate stays inside the subgraph
     pad_m = DIJKSTRA_BOUND_CM / 100.0 + opts.search_distance * 1.5 + 50.0
-    sub = trip_subgraph_edges(points_df, nodes_df, edges_df, pad_m=pad_m)
+    # subgraphs are SHARED per cover signature (one graph per distinct cell
+    # set, solved against by every trip with that cover — the per-shard
+    # graph analog), not duplicated per trip
+    sub = sig_subgraph_edges(points_df, nodes_df, edges_df, pad_m=pad_m)
+    cand_sig = cand.join(trip_cover_sigs(points_df), "trip_id")
 
     def run_cog(cand_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
         return _solve_cogroup_pdf(cand_pdf, edges_pdf, opts, output)
 
     return (
-        cand.groupBy("trip_id")
-        .cogroup(sub.groupBy("trip_id"))
+        cand_sig.groupBy("sig")
+        .cogroup(sub.groupBy("sig"))
         .applyInPandas(run_cog, schema=schema)
     )
 
 
 def _solve_cogroup_pdf(cand_pdf: pd.DataFrame, edges_pdf: pd.DataFrame,
                        opts: MatchOptions, output: str) -> pd.DataFrame:
-    """Solve one trip against its own padded subgraph (celljoin stage B/C):
-    build a local PackedGraph from the cogrouped edge rows, remap the
+    """Solve EVERY trip of one cover-signature group against the group's
+    shared padded subgraph (celljoin stage B/C): build one local
+    PackedGraph from the cogrouped edge rows, then per trip remap the
     candidates' global edge_row indices to local ones (order-preserving:
-    both sides sort by (edge_id, src, dst)), and solve. R6 analog: a
-    candidate edge missing from the subgraph (impossible when the padding
-    covers the bound; defensive for skew in the equirectangular pad) is
-    dropped — it could never carry a transition."""
+    both sides sort by (edge_id, src, dst)) and solve. Sharing the graph
+    also shares the predicate cache across the group's trips — the
+    per-shard-matcher economics of the reference (bin/matcher.rs:48-55).
+    R6 analog: a candidate edge missing from the subgraph (impossible when
+    the padding covers the bound; defensive for skew in the equirectangular
+    pad) is dropped — it could never carry a transition."""
     if len(cand_pdf) == 0:
         # schema-typed empty frame
         return _status_row("", "unanchored", output).iloc[0:0]
-    trip_id = cand_pdf["trip_id"].iloc[0]
+    trip_ids = cand_pdf["trip_id"].unique()
     if len(edges_pdf) == 0:
-        return _status_row(trip_id, "unanchored", output)
+        return pd.concat([_status_row(t, "unanchored", output)
+                          for t in trip_ids], ignore_index=True)
 
     from routers_spark.graph.packed import build_packed_graph
 
@@ -558,16 +567,21 @@ def _solve_cogroup_pdf(cand_pdf: pd.DataFrame, edges_pdf: pd.DataFrame,
 
     # global edge_row -> local row: local order == relative global order
     global_rows = edges_pdf["edge_row"].values.astype(np.int64)
-    cand_pdf = cand_pdf.copy()
-    cr = cand_pdf["edge_row"].values.astype(np.int64)
-    pos = np.searchsorted(global_rows, cr)
-    pos_c = np.minimum(pos, len(global_rows) - 1)
-    present = (cr >= 0) & (pos < len(global_rows)) & (global_rows[pos_c] == cr)
-    cand_pdf["edge_row"] = np.where(present, pos_c, -1)
-    cand_pdf = cand_pdf[present | (cr < 0)]
-    if len(cand_pdf) == 0:
-        return _status_row(trip_id, "unanchored", output)
-    return _solve_candidates_pdf(cand_pdf, g, opts, output)
+    outs = []
+    for trip_id, tp in cand_pdf.groupby("trip_id", sort=False):
+        tp = tp.copy()
+        cr = tp["edge_row"].values.astype(np.int64)
+        pos = np.searchsorted(global_rows, cr)
+        pos_c = np.minimum(pos, len(global_rows) - 1)
+        present = ((cr >= 0) & (pos < len(global_rows))
+                   & (global_rows[pos_c] == cr))
+        tp["edge_row"] = np.where(present, pos_c, -1)
+        tp = tp[present | (cr < 0)]
+        if len(tp) == 0:
+            outs.append(_status_row(trip_id, "unanchored", output))
+        else:
+            outs.append(_solve_candidates_pdf(tp, g, opts, output))
+    return pd.concat(outs, ignore_index=True)
 
 
 def _solve_candidates_pdf(pdf: pd.DataFrame, graph, opts: MatchOptions,
