@@ -59,6 +59,16 @@ def write_snapshot(df: DataFrame, root: str, table: str,
     )
     n_rows = sum(r["count"] for r in part_rows)
 
+    # rows_in = total rows of the committed input snapshots (resolved from
+    # their manifests; snapshot ids are "<table>-v<version>-<uuid>")
+    rows_in = 0
+    for sid in inputs or []:
+        try:
+            t, v = sid.rsplit("-", 2)[:2]
+            rows_in += read_manifest(root, t, int(v[1:]))["rows"]
+        except (ValueError, FileNotFoundError, KeyError):
+            pass  # foreign/raw input — not a snapshot of this warehouse
+
     version = _latest_version(root, table) + 1
     snapshot_id = f"{table}-v{version}-{snap_uuid}"
     manifest = {
@@ -72,8 +82,8 @@ def write_snapshot(df: DataFrame, root: str, table: str,
         "inputs": inputs or [],
         "lineage": [
             {"partition_id": int(r["_pid"]), "stage": stage,
-             "rows_out": int(r["count"]), "wall_ms": wall_ms,
-             "input_snapshot_ids": inputs or []}
+             "rows_in": rows_in, "rows_out": int(r["count"]),
+             "wall_ms": wall_ms, "input_snapshot_ids": inputs or []}
             for r in part_rows
         ],
     }

@@ -37,17 +37,20 @@ def test_north_star_pipeline(spark, tmp_path):
         "match", "matched",
         lambda _s: match_trips(
             pipe.read("images").select("trip_id", "seq", "lon", "lat"),
-            nodes_df, edges_df))
+            nodes_df, edges_df),
+        inputs=[ingested.snapshot_id])
     tiled = pipe.stage(
         "tiles", "vector_tiles",
         lambda _s: with_tile_columns(
             pipe.read("matched")
             .filter("status = 'matched'")
             .selectExpr("trip_id", "seq", "matched_lon AS lon",
-                        "matched_lat AS lat"), ZOOM))
+                        "matched_lat AS lat"), ZOOM),
+        inputs=[matched.snapshot_id])
     raster = pipe.stage(
         "raster", "raster_tiles",
-        lambda _s: raster_pyramid(pipe.read("images"), base_zoom=ZOOM, levels=1))
+        lambda _s: raster_pyramid(pipe.read("images"), base_zoom=ZOOM, levels=1),
+        inputs=[ingested.snapshot_id])
 
     # raster tiles join back to the vector cells on the tile key
     joined = (
@@ -63,8 +66,10 @@ def test_north_star_pipeline(spark, tmp_path):
     for table in ("images", "matched", "vector_tiles", "raster_tiles"):
         rows = lineage_rows(root, table)
         assert rows, table
-        assert all("rows_out" in r and "partition_id" in r
-                   and "wall_ms" in r for r in rows)
+        assert all("rows_in" in r and "rows_out" in r
+                   and "partition_id" in r and "wall_ms" in r for r in rows)
+    # downstream stages carry their input snapshot's row count
+    assert all(r["rows_in"] == 200 for r in lineage_rows(root, "matched"))
 
     # ---- caption byte-equality through the checkpointed pipeline
     got = {r.image_id: r.caption
@@ -85,9 +90,17 @@ def test_north_star_pipeline(spark, tmp_path):
         checked += 1
     assert checked == 40
 
-    # ---- resume: a second pipeline over the same root recomputes nothing
+    # ---- resume: a second pipeline over the same root recomputes nothing —
+    # the rerun re-derives each stage's input ids from the committed hits
+    # (exactly what a restarted job does), so identities line up
     pipe2 = Pipeline(spark, root)
     before = len(lineage_rows(root, "matched"))
-    pipe2.stage("match", "matched", lambda _s: (_ for _ in ()).throw(
-        AssertionError("stage must come from the committed snapshot")))
+    ingested2 = pipe2.stage("ingest", "images", lambda _s: (_ for _ in ()).throw(
+        AssertionError("ingest must come from the committed snapshot")))
+    assert not ingested2.recomputed
+    assert ingested2.snapshot_id == ingested.snapshot_id
+    m2 = pipe2.stage("match", "matched", lambda _s: (_ for _ in ()).throw(
+        AssertionError("stage must come from the committed snapshot")),
+        inputs=[ingested2.snapshot_id])
+    assert not m2.recomputed
     assert len(lineage_rows(root, "matched")) == before
