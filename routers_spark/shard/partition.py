@@ -142,6 +142,12 @@ def trip_subgraph_edges(points_df: DataFrame, nodes_df: DataFrame,
     pad_m ≥ Dijkstra bound + search distance, every transition path of the
     trip lies inside the subgraph, so the solver needs NO global broadcast.
 
+    The matcher's celljoin path uses :func:`sig_subgraph_edges` instead
+    (the same admit rule keyed by cover signature, one shared subgraph per
+    distinct cell set — per-trip and per-signature forms are row-equivalent
+    for each trip, asserted in tests/test_celljoin.py); this per-trip form
+    remains the right shape when trips rarely share covers.
+
     Output: (trip_id, edge_id, edge_row, src, dst, weight, ax, ay, bx, by),
     deduplicated per (trip_id, edge_row). The coarse ``cell_deg`` (~2.2 km)
     keeps the edge-cover explosion factor ~O((2·pad/cell)²) ≈ 9."""

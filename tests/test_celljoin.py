@@ -108,3 +108,32 @@ def test_celljoin_graph_churn_id_reuse(spark):
     bc = bc.sort_values(key).reset_index(drop=True)
     assert (cj["edge_id"].values == bc["edge_id"].values).all()
     assert (cj["status"].values == bc["status"].values).all()
+
+
+def test_sig_subgraphs_equal_per_trip_subgraphs(spark):
+    """The shared per-signature subgraph must admit exactly the edges the
+    per-trip form admits, for every trip (they apply the same P4/P5 rule —
+    sharing is pure dedup, never a semantic change)."""
+    from routers_spark.fixtures.roads import grid_network, walk_trips
+    from routers_spark.shard.partition import (
+        sig_subgraph_edges,
+        trip_cover_sigs,
+        trip_subgraph_edges,
+    )
+
+    nodes, edges = grid_network(15)
+    trips = walk_trips(nodes, edges, n_trips=40, points_per_trip=8, seed=4)
+    points = spark.createDataFrame(trips)
+    nodes_df = spark.createDataFrame(nodes)
+    edges_df = spark.createDataFrame(edges)
+    pad = 500.0
+    per_trip = trip_subgraph_edges(points, nodes_df, edges_df, pad_m=pad) \
+        .select("trip_id", "edge_row").toPandas()
+    sigs = trip_cover_sigs(points).toPandas()
+    per_sig = sig_subgraph_edges(points, nodes_df, edges_df, pad_m=pad) \
+        .select("sig", "edge_row").toPandas()
+    sig_edges = per_sig.groupby("sig")["edge_row"].apply(set).to_dict()
+    trip_edges = per_trip.groupby("trip_id")["edge_row"].apply(set).to_dict()
+    for _, r in sigs.iterrows():
+        assert trip_edges.get(r["trip_id"], set()) == \
+            sig_edges.get(r["sig"], set()), r["trip_id"]
