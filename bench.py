@@ -43,6 +43,7 @@ HEADLINE_SQL = [
     "geo_route_assign",
     "phash_hamming_pairs",
     "token_counts",
+    "cell_count_rollup",
 ]
 HEADLINE_ENGINE = [
     "map_match_discretized",

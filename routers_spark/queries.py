@@ -1176,6 +1176,49 @@ def _geo_route_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                              salt_buckets=4)
 
 
+@sql_query("cell_count_rollup")
+def _q_cell_count_rollup(dialect: str) -> str:
+    """The streaming per-cell rollup's batch form (streaming/rollup.py):
+    tumbling 1-minute event-time windows keyed by the geohash-5 cell.
+    The Spark side runs the ENGINE operator (same code path the watermarked
+    stream executes); this oracle restates it as date_trunc + group by —
+    Spark's window() aligns tumbling windows to the epoch, which for one
+    minute equals the minute truncation. Window bounds as epoch seconds
+    (BIGINT) keep the comparison timestamp-format-free."""
+    d = _d(dialect)
+    p = sqlgen.Program("SELECT event_id, ts FROM events", ["event_id", "ts"])
+    gh5 = sqlgen.p_geohash_str(p, d, EVENT_LON, EVENT_LAT, 5)
+    inner = p.render(["ts", f"{gh5} AS cell"])
+    epoch = (lambda x: f"CAST(CAST({x} AS TIMESTAMP) AS LONG)") \
+        if dialect == "spark" else (lambda x: f"CAST(epoch({x}) AS BIGINT)")
+    return f"""
+WITH keyed AS ({inner})
+SELECT {epoch("date_trunc('minute', ts)")} AS window_start,
+       {epoch("date_trunc('minute', ts)")} + 60 AS window_end,
+       cell,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM keyed
+GROUP BY 1, 2, 3
+"""
+
+
+def _cell_count_rollup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from routers_spark.streaming.rollup import cell_count_stream
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(
+        f"SELECT ts, {EVENT_LON} AS lon, {EVENT_LAT} AS lat FROM events")
+    out = cell_count_stream(pts, window="1 minute", precision=5)
+    # TIMESTAMP_NTZ refuses a direct long cast; unix_timestamp under the
+    # pinned UTC session matches DuckDB's epoch()
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        F.unix_timestamp("window_end").alias("window_end"),
+        "cell", F.col("n").cast("long").alias("n"))
+
+
 @sql_query("phash_hamming_pairs")
 def _q_phash_hamming(dialect: str) -> str:
     """Perceptual-hash Hamming-ball near-dup pairs: corpus = splitmix64 of
@@ -1552,6 +1595,7 @@ _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_route_assign": _geo_route_spark,
     "phash_hamming_pairs": _phash_hamming_spark,
     "token_counts": _token_counts_spark,
+    "cell_count_rollup": _cell_count_rollup_spark,
 }
 
 
