@@ -45,16 +45,24 @@ def fake_media_decode(payload: bytes, n: int, width: int = 1) -> np.ndarray:
     return (rng.random((n, width), dtype=np.float32) * 2.0 - 1.0)
 
 
+_N_HIST_BINS = 8
+
 IMAGE_FEATURES_SCHEMA = (
     "image_id string, mean_r double, mean_g double, mean_b double, "
-    "std_lum double, hist array<double>"
+    "std_lum double, "
+    + ", ".join(f"hist_{i} double" for i in range(_N_HIST_BINS))
 )
 
 
 def image_features(images_df: DataFrame) -> DataFrame:
     """Decode each image (REAL for PNG; deterministic stand-in for the
     lossy format) and emit per-channel means + luminance std + an 8-bin
-    luminance histogram — one narrow Arrow pass, no shuffle."""
+    luminance histogram — one narrow Arrow pass, no shuffle. The histogram
+    lands as scalar ``hist_0..hist_7`` columns (flat schemas keep the rows
+    hashable/sortable for any downstream canonicalizer and columnar for
+    parquet stats)."""
+    hist_cols = [f"hist_{i}" for i in range(_N_HIST_BINS)]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -68,14 +76,15 @@ def image_features(images_df: DataFrame) -> DataFrame:
                 rgb = arr[:, :, :3] if arr.shape[2] >= 3 else \
                     np.repeat(arr[:, :, :1], 3, axis=2)
                 lum = rgb.mean(axis=2)
-                hist = np.histogram(lum, bins=8, range=(0, 256))[0]
+                hist = np.histogram(lum, bins=_N_HIST_BINS, range=(0, 256))[0]
                 hist = (hist / max(lum.size, 1)).tolist()
                 rows.append((r.image_id, float(rgb[:, :, 0].mean()),
                              float(rgb[:, :, 1].mean()),
                              float(rgb[:, :, 2].mean()),
-                             float(lum.std()), hist))
+                             float(lum.std()), *hist))
             yield pd.DataFrame(rows, columns=[
-                "image_id", "mean_r", "mean_g", "mean_b", "std_lum", "hist"])
+                "image_id", "mean_r", "mean_g", "mean_b", "std_lum",
+                *hist_cols])
 
     return images_df.select("image_id", "bytes", "fmt").mapInPandas(
         gen, schema=IMAGE_FEATURES_SCHEMA)

@@ -36,7 +36,8 @@ def test_image_features_real_png(spark):
     assert len(out) == 1
     r = out[0]
     assert r.mean_r == 200.0 and r.mean_g == 0.0 and r.mean_b == 0.0
-    assert len(r.hist) == 8 and abs(sum(r.hist) - 1.0) < 1e-9
+    hist = [getattr(r, f"hist_{i}") for i in range(8)]
+    assert abs(sum(hist) - 1.0) < 1e-9
 
 
 def test_sample_frames_bounded_fanout(spark):
