@@ -1392,15 +1392,73 @@ def _q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_points(images.select("lon", "lat"), eps_m=60.0)
 
 
-@nosql_query("minhash_dedup_pipeline")
-def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline over the documents table
-    (signatures → band join → exact-Jaccard verify → canonical ids)."""
+@sql_query("minhash_dedup_pipeline")
+def _q_minhash_dedup_sql(dialect: str) -> str:
+    """Full MinHash+LSH near-dup pipeline over the documents table:
+    signatures → LSH band join (2 bands × 4 rows) → exact-Jaccard verify →
+    canonical ids via connected components. The Spark side runs the ENGINE
+    pipeline (pipeline.dedup.minhash_dedup: Arrow signature pass, banded
+    equi-join, distributed min-label propagation to fixpoint); this oracle
+    restates every stage in SQL — the signature/shingle programs are the
+    already-gated dual-dialect twins, candidates are the same band-equality
+    pairs, Jaccard is int/int division in both engines (IEEE-identical),
+    and the component labels come from a recursive transitive-closure CTE
+    (min label per node == the engine's fixpoint label)."""
+    from routers_spark.functions.hashing import p_fnv1a_chars
+
+    sig_sql = _q_minhash(dialect)  # doc_id, mh0..mh7 — exact engine contract
+    p = sqlgen.Program(_shingle_source(dialect), ["doc_id"])
+    h = p_fnv1a_chars(p, "text", "i", 5, dialect)
+    sh_sql = p.render([f"doc_id AS doc_id, {h} AS h"], distinct=True)
+    band0 = " AND ".join(f"a.mh{i} = b.mh{i}" for i in range(4))
+    band1 = " AND ".join(f"a.mh{i} = b.mh{i}" for i in range(4, 8))
+    return f"""
+WITH RECURSIVE sig AS ({sig_sql}),
+sh AS ({sh_sql}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE ({band0}) OR ({band1})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT i.doc_a AS u, i.doc_b AS v
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+               JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.c AS DOUBLE) / CAST(sa.n + sb.n - i.c AS DOUBLE) >= 0.5
+),
+edges AS (SELECT u, v FROM verified UNION ALL
+          SELECT v AS u, u AS v FROM verified),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+),
+canon AS (SELECT u AS doc_id, MIN(lbl) AS lbl FROM reach GROUP BY u)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(c.lbl, d.doc_id) AS BIGINT) AS canonical_id
+FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id
+"""
+
+
+def _minhash_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from routers_spark.pipeline.dedup import minhash_dedup
 
     register_views(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup(docs, n_hashes=8, bands=2, threshold=0.5)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(32))
+    out = minhash_dedup(docs, n_hashes=8, bands=2, threshold=0.5)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("canonical_id").cast("bigint").alias("canonical_id"))
 
 
 @nosql_query("image_features")
@@ -1415,24 +1473,56 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(images)
 
 
-@nosql_query("phash_dedup_pairs")
-def _q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash image near-dup pairs (banded Hamming-ball join) over
-    the image corpus with deterministically planted near-duplicates
-    (brute-force parity asserted in pytest)."""
+def _phash_corpus_sql(dialect: str) -> str:
+    """STRING-id image corpus with SQL-derivable phashes: splitmix64 of the
+    doc key, plus a 2-bit-flipped 'dup…' twin for every 10th image (the
+    planted near-duplicates). Fixed-width lpad keeps string order ==
+    numeric order in both engines."""
+    from routers_spark.functions.hashing import splitmix64_sql, sql_ops
+
+    xor, _, _ = sql_ops(dialect)
+    sm = splitmix64_sql("CAST(doc_id AS BIGINT)", dialect)
+    return (
+        f"SELECT ('img' || lpad(CAST(doc_id AS STRING), 9, '0')) AS image_id,"
+        f" {sm} AS phash FROM documents"
+        f" UNION ALL "
+        f"SELECT ('dup' || lpad(CAST(doc_id AS STRING), 9, '0')) AS image_id,"
+        f" {xor(f'({sm})', '5')} AS phash"
+        f" FROM documents WHERE doc_id % 10 = 0"
+    )
+
+
+@sql_query("phash_dedup_pairs")
+def _q_phash_dedup_sql(dialect: str) -> str:
+    """Perceptual-hash image near-dup PIPELINE over string image ids: the
+    Spark side runs pipeline.multimodal.phash_dedup_pairs (banded
+    Hamming-ball pigeonhole join — the engine path, here exercised on the
+    input_hint's string image_id key, complementing the long-keyed
+    phash_hamming_pairs gate); this oracle is the brute-force all-pairs
+    restatement, equal by the max_hamming < bands guarantee."""
+    from routers_spark.functions.hashing import sql_ops
+
+    xor, _, _ = sql_ops(dialect)
+    ham = f"bit_count({xor('a.phash', 'b.phash')})"
+    return f"""
+WITH c AS ({_phash_corpus_sql(dialect)})
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST({ham} AS BIGINT) AS hamming
+FROM c a JOIN c b ON a.image_id < b.image_id
+WHERE {ham} <= 3
+"""
+
+
+def _phash_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from routers_spark.fixtures.images import generate_images
     from routers_spark.pipeline.multimodal import phash_dedup_pairs
 
-    n = min(2000, max(200, _sf_scale(spark, sf_dir) // 5))
-    images = spark.createDataFrame(
-        generate_images(n, seed=42).loc[:, ["image_id", "phash"]])
-    # plant near-dups: every 10th image gets a 2-bit-flipped twin
-    twins = (images.filter(F.expr("pmod(CAST(substring(image_id, 4) AS BIGINT), 10) = 0"))
-             .select(F.concat(F.lit("dup"), "image_id").alias("image_id"),
-                     F.expr("phash ^ 5").alias("phash")))
-    return phash_dedup_pairs(images.unionByName(twins), max_hamming=3)
+    register_views(spark, sf_dir)
+    corpus = spark.sql(_phash_corpus_sql("spark"))
+    out = phash_dedup_pairs(corpus, max_hamming=3, bands=4)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("long").alias("hamming"))
 
 
 @nosql_query("video_frame_sample")
@@ -1493,15 +1583,64 @@ def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.md5("bytes").alias("bytes_md5"))
 
 
-@nosql_query("embedding_dedup")
-def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup canonical ids (LSH bucket self-join +
-    exact-cosine verify + connected components); planted-duplicate recovery
-    asserted in pytest."""
+_EMB_DEDUP_CORPUS = """
+  SELECT CAST(vec_id AS BIGINT) AS vid, embedding FROM embeddings
+  UNION ALL
+  SELECT CAST(vec_id + 1000000 AS BIGINT) AS vid, embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT CAST(vec_id + 2000000 AS BIGINT) AS vid, embedding
+  FROM embeddings WHERE vec_id % 20 = 0"""
+
+
+@sql_query("embedding_dedup")
+def _q_embedding_dedup_sql(dialect: str) -> str:
+    """Embedding-cosine near-dup canonical ids. Corpus = embeddings plus
+    EXACT-copy twins (every 10th vector at +1e6; every 20th also at +2e6, so
+    3-node chains exercise the component collapse). Exact copies make the
+    gate float-robust: identical vectors bucket identically in every LSH
+    table (engine recall 1.0 by construction) and their cosine ~1.0 sits far
+    from the 0.98 threshold, while the corpus's max natural pair cosine is
+    ~0.51 — no cross-engine boundary risk. The Spark side runs the ENGINE
+    pipeline (pipeline.similarity.embedding_dedup: LSH bucket self-join →
+    exact-cosine verify → connected components); this oracle is brute-force
+    all-pairs cosine + a recursive transitive-closure CTE."""
+    return f"""
+WITH RECURSIVE c AS ({_EMB_DEDUP_CORPUS}),
+edges0 AS (
+  SELECT a.vid AS u, b.vid AS v
+  FROM c a JOIN c b ON a.vid < b.vid
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+),
+edges AS (SELECT u, v FROM edges0 UNION ALL SELECT v AS u, u AS v FROM edges0),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+),
+canon AS (SELECT u, MIN(lbl) AS lbl FROM reach GROUP BY u)
+SELECT c.vid AS doc_id, CAST(COALESCE(cn.lbl, c.vid) AS BIGINT) AS canonical_id
+FROM c LEFT JOIN canon cn ON cn.u = c.vid
+"""
+
+
+def _embedding_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from routers_spark.pipeline.similarity import embedding_dedup
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_dedup(emb, threshold=0.98)
+    register_views(spark, sf_dir)
+    base = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(F.col("vec_id").cast("long").alias("vec_id"), "embedding"))
+    t1 = base.filter("vec_id % 10 = 0").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    t2 = base.filter("vec_id % 20 = 0").select(
+        (F.col("vec_id") + 2000000).alias("vec_id"), "embedding")
+    corpus = base.unionByName(t1).unionByName(t2)
+    out = embedding_dedup(corpus, threshold=0.98)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("canonical_id").cast("bigint").alias("canonical_id"))
 
 
 @nosql_query("ann_lsh_topk")
@@ -1596,6 +1735,9 @@ _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_hamming_pairs": _phash_hamming_spark,
     "token_counts": _token_counts_spark,
     "cell_count_rollup": _cell_count_rollup_spark,
+    "minhash_dedup_pipeline": _minhash_dedup_spark,
+    "phash_dedup_pairs": _phash_dedup_spark,
+    "embedding_dedup": _embedding_dedup_spark,
 }
 
 
