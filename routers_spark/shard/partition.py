@@ -82,18 +82,91 @@ CANDIDATE_SCHEMA = (
 )
 
 
-def edges_with_rows(edges_df: DataFrame) -> DataFrame:
-    """Edges with the canonical per-directed-edge index: rank over
-    (edge_id, src, dst) — build_packed_graph sorts identically, so candidate
-    ordering (and thus trellis tie-breaks) agrees across every candidate
-    generator and every subgraph (a sorted subset preserves relative
-    order)."""
-    from pyspark.sql.window import Window
+def edges_with_rows(edges_df: DataFrame,
+                    num_partitions: int | None = None) -> DataFrame:
+    """Edges with the canonical per-directed-edge index: dense 0-based rank
+    over (edge_id, src, dst) — build_packed_graph sorts identically, so
+    candidate ordering (and thus trellis tie-breaks) agrees across every
+    candidate generator and every subgraph (a sorted subset preserves
+    relative order).
+
+    Scalable dense rank — NO global single-task ``Window.orderBy`` (that
+    shape funnels the whole edge table through one task, the very failure
+    the celljoin path exists to avoid). Recipe:
+
+    1. PIN quantile cut points of ``edge_id`` driver-side (one
+       approxQuantile pass). Pinned constants make the bucketing a pure
+       row function shared by every downstream job — unlike
+       ``repartitionByRange``, whose per-job reservoir re-sample puts
+       boundary rows in different partitions across executions (measured:
+       two runs of the same plan disagreed by ±7 rows/partition).
+    2. Bucket every row with a vectorized searchsorted (Arrow-batched;
+       buckets are monotone in the sort key, ~uniform by construction).
+    3. Per-BUCKET counts from one map-side-combined aggregation; cumsum
+       the ~4·n_part offsets driver-side (the only collect — a few KB).
+    4. Hash-shuffle on bucket, sort within partitions, enumerate rows per
+       bucket in one Arrow pass, add the broadcast bucket offset.
+
+    Every step is a deterministic function of row values, so the counts
+    job and the enumeration job agree no matter how tasks are scheduled.
+    Ties beyond (edge_id, src, dst) can only be full-row duplicates —
+    interchangeable, so the rank is well-defined."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType, StructField, StructType
 
     cols = ["edge_id", "src", "dst", "weight"]
-    return edges_df.select(*cols).withColumn(
-        "edge_row",
-        F.row_number().over(Window.orderBy("edge_id", "src", "dst")) - 1,
+    base = edges_df.select(*cols)
+    spark = base.sparkSession
+    if num_partitions is None:
+        try:
+            num_partitions = max(
+                int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+        except (TypeError, ValueError):  # "auto" on some builds
+            num_partitions = spark.sparkContext.defaultParallelism
+    n_buckets = num_partitions * 4
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = (base.stat.approxQuantile("edge_id", probs, 0.01)
+            if n_buckets > 1 else [])
+    bounds = np.array(sorted(set(cuts)), dtype=np.float64)
+
+    @pandas_udf("int")
+    def bucket_of(eid: pd.Series) -> pd.Series:
+        b = np.searchsorted(bounds, eid.values.astype(np.float64), "left")
+        return pd.Series(b.astype(np.int32))
+
+    bucketed = base.withColumn("bucket", bucket_of("edge_id"))
+
+    counts = {int(r["bucket"]): int(r["cnt"])
+              for r in bucketed.groupBy("bucket").agg(
+                  F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
+    offsets_df = spark.createDataFrame(offsets, "bucket int, offset long")
+
+    part = (bucketed.repartition(num_partitions, "bucket")
+            .sortWithinPartitions("bucket", "edge_id", "src", "dst"))
+    out_schema = StructType(
+        part.schema.fields + [StructField("local_row", LongType())])
+
+    def enumerate_local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: dict[int, int] = {}
+        for pdf in batches:
+            grp = pdf.groupby("bucket", sort=False)
+            local = grp.cumcount().values.astype(np.int64)
+            sizes = grp.size()
+            carry = {int(k): seen.get(int(k), 0) for k in sizes.index}
+            local += pdf["bucket"].map(carry).values.astype(np.int64)
+            for k, v in sizes.items():
+                seen[int(k)] = seen.get(int(k), 0) + int(v)
+            yield pdf.assign(local_row=local)
+
+    local = part.mapInPandas(enumerate_local, schema=out_schema)
+    return (
+        local.join(F.broadcast(offsets_df), "bucket")
+        .withColumn("edge_row", F.col("offset") + F.col("local_row"))
+        .select(*cols, "edge_row")
     )
 
 

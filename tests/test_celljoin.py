@@ -84,6 +84,30 @@ def test_celljoin_never_collects_graph(spark, inputs, monkeypatch):
     assert out.count() > 0  # executes end-to-end without any toPandas
 
 
+def test_celljoin_plan_has_no_global_window(spark, inputs):
+    """Scale guard (round-2 verdict #2): the canonical edge_row rank must
+    never funnel the edge table through a single-partition Window — the
+    celljoin physical plan must contain NO Window node at all (the dense
+    rank is bucket-shuffled + offset-added instead)."""
+    points_df, nodes_df, edges_df = inputs
+    out = match_trips(points_df, nodes_df, edges_df, candidate_path="celljoin")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "global Window crept back into celljoin plan"
+
+
+def test_edges_with_rows_dense_rank(spark, inputs):
+    """edges_with_rows == row_number over (edge_id, src, dst) minus one —
+    the exact contract build_packed_graph's sort relies on — computed
+    WITHOUT a global window."""
+    from routers_spark.shard.partition import edges_with_rows
+
+    _, _, edges_df = inputs
+    out = (edges_with_rows(edges_df).toPandas()
+           .sort_values(["edge_id", "src", "dst"]).reset_index(drop=True))
+    np.testing.assert_array_equal(out["edge_row"].values,
+                                  np.arange(len(out)))
+
+
 @pytest.mark.slow
 def test_celljoin_graph_churn_id_reuse(spark):
     """Regression: per-trip subgraphs are created and freed by the hundreds
