@@ -102,14 +102,11 @@ def nearest_points(points_df: DataFrame, nodes_df: DataFrame,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         g = hydrate(bc, key)
         for pdf in batches:
-            px = pdf[lon].values.astype(np.float64)
-            py = pdf[lat].values.astype(np.float64)
-            idx = np.empty(len(pdf), dtype=np.int64)
-            for s in range(0, len(pdf), 1024):  # block the (pts × nodes) matrix
-                e = min(s + 1024, len(pdf))
-                d2 = ((g.node_lon[None, :] - px[s:e, None]) ** 2
-                      + (g.node_lat[None, :] - py[s:e, None]) ** 2)
-                idx[s:e] = np.argmin(d2, axis=1)
+            # ring-expansion 1-NN over the node cell buckets: per-point cost
+            # tracks local density, not node count (vs the former dense
+            # (points × nodes) distance matrix — O(n_nodes) per point)
+            idx = g.nearest_nodes(pdf[lon].values.astype(np.float64),
+                                  pdf[lat].values.astype(np.float64))
             out = pdf[[f.name for f in out_fields]].copy()
             out["node_id"] = g.node_ids[idx]
             out["node_lon"] = g.node_lon[idx]
@@ -130,7 +127,7 @@ def route_points(pairs_df: DataFrame, nodes_df: DataFrame,
     (route.rs:21-34 route_points = nearest_node ×2 + route_nodes).
     pairs_df: (req_id, lon_a, lat_a, lon_b, lat_b). Unroutable pairs emit
     one status='unreachable' row."""
-    from routers_spark.graph.dijkstra import nearest_node, route_nodes
+    from routers_spark.graph.dijkstra import route_nodes
     from routers_spark.graph.packed import hydrate
 
     bc, key = _broadcast_graph(nodes_df, edges_df)
@@ -138,10 +135,12 @@ def route_points(pairs_df: DataFrame, nodes_df: DataFrame,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         g = hydrate(bc, key)
         for pdf in batches:
+            # snap BOTH endpoints for the whole batch in one ring-1-NN pass
+            snap_a = g.nearest_nodes(pdf["lon_a"].values, pdf["lat_a"].values)
+            snap_b = g.nearest_nodes(pdf["lon_b"].values, pdf["lat_b"].values)
             rows = []
-            for r in pdf.itertuples(index=False):
-                a = nearest_node(g, float(r.lon_a), float(r.lat_a))
-                b = nearest_node(g, float(r.lon_b), float(r.lat_b))
+            for i, r in enumerate(pdf.itertuples(index=False)):
+                a, b = int(snap_a[i]), int(snap_b[i])
                 res = route_nodes(g, a, b)
                 if res is None:
                     rows.append((int(r.req_id), -1, -1, np.nan, np.nan, -1,

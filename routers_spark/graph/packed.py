@@ -209,6 +209,132 @@ class PackedGraph:
         )
         return cand[keep]
 
+    # ------------------------------------------------------ nearest node 1-NN
+
+    def build_node_cell_index(self, cell_deg: float = 0.002):
+        """Uniform-grid bucket index over NODES (companion to the edge-bbox
+        index): cell -> contiguous slice of node dense indices. Backs the
+        ring-expansion 1-NN (X1/X3 applied to the Point snap)."""
+        x0 = float(self.node_lon.min())
+        y0 = float(self.node_lat.min())
+        cx = np.floor((self.node_lon - x0) / cell_deg).astype(np.int64)
+        cy = np.floor((self.node_lat - y0) / cell_deg).astype(np.int64)
+        nx = int(cx.max()) + 1
+        ny = int(cy.max()) + 1
+        cell = cy * nx + cx
+        order = np.argsort(cell, kind="stable")
+        cell_sorted = cell[order]
+        uniq, starts = np.unique(cell_sorted, return_index=True)
+        self._node_cell_index = {
+            "x0": x0, "y0": y0, "cell_deg": cell_deg, "nx": nx, "ny": ny,
+            "uniq": uniq, "starts": starts,
+            "ends": np.append(starts[1:], len(cell_sorted)),
+            "nodes": order.astype(np.int64),
+        }
+        return self
+
+    def nearest_nodes(self, lons, lats) -> np.ndarray:
+        """Batched ring-expansion 1-NN: per point, grow Chebyshev cell
+        shells around the center cell until the best planar-d² candidate is
+        provably closer than any unseen shell (nodes in shells ≥ r+1 lie at
+        ≥ r·cell_deg from anywhere in the center cell). Per-point cost
+        scales with LOCAL density (cells visited), not node count — the
+        round-2 verdict's fix for the all-nodes distance matrix. Ties break
+        to the lowest dense index (= lowest node id), matching the brute
+        ``argmin`` oracle (dijkstra.nearest_node). Returns dense indices."""
+        if getattr(self, "_node_cell_index", None) is None:
+            self.build_node_cell_index()
+        ci = self._node_cell_index
+        cd, nx, ny = ci["cell_deg"], ci["nx"], ci["ny"]
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        n = len(lons)
+        pcx = np.floor((lons - ci["x0"]) / cd).astype(np.int64)
+        pcy = np.floor((lats - ci["y0"]) / cd).astype(np.int64)
+        best_d2 = np.full(n, np.inf)
+        best_idx = np.full(n, -1, dtype=np.int64)
+        # start each point at the first shell that can touch the grid, so
+        # far-outside queries skip their guaranteed-empty shells
+        r0 = np.maximum.reduce([
+            np.zeros(n, dtype=np.int64), -pcx, pcx - (nx - 1), -pcy,
+            pcy - (ny - 1)])
+        shell = r0.copy()
+        # beyond this shell the whole grid has been seen
+        max_shell = np.maximum.reduce([
+            np.abs(pcx), np.abs(pcx - (nx - 1)),
+            np.abs(pcy), np.abs(pcy - (ny - 1))])
+        active = np.arange(n)
+
+        def _ragged(starts, stops):
+            cnt = np.maximum(stops - starts, 0)
+            tot = int(cnt.sum())
+            if tot == 0:
+                return np.empty(0, dtype=np.int64), cnt
+            offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            return np.repeat(starts, cnt) + offs, cnt
+
+        while len(active):
+            s = shell[active]
+            ax, ay = pcx[active], pcy[active]
+            segs = []  # (pt_pos, cellx, celly) per shell segment
+            for fixed_y, ydelta in ((True, s), (True, -s), (False, None)):
+                if fixed_y:
+                    yy = ay + ydelta
+                    ok = (yy >= 0) & (yy < ny)
+                    xs, cnt = _ragged(np.where(ok, np.maximum(ax - s, 0), 0),
+                                      np.where(ok, np.minimum(ax + s, nx - 1) + 1, 0))
+                    segs.append((np.repeat(np.arange(len(active)), cnt), xs,
+                                 np.repeat(yy, cnt)))
+                else:
+                    for xdelta in (s, -s):
+                        xx = ax + xdelta
+                        ok = (xx >= 0) & (xx < nx) & (s > 0)
+                        ys, cnt = _ragged(
+                            np.where(ok, np.maximum(ay - s + 1, 0), 0),
+                            np.where(ok, np.minimum(ay + s - 1, ny - 1) + 1, 0))
+                        segs.append((np.repeat(np.arange(len(active)), cnt),
+                                     np.repeat(xx, cnt), ys))
+                if s.max() == 0:
+                    break  # r=0 everywhere: only the center cell
+            pt = np.concatenate([g[0] for g in segs])
+            ccx = np.concatenate([g[1] for g in segs])
+            ccy = np.concatenate([g[2] for g in segs])
+            if s.max() == 0:  # the +s/-s rows coincide at the center
+                key = ccy * nx + ccx
+                _, first = np.unique(pt * np.int64(nx) * ny + key,
+                                     return_index=True)
+                pt, ccx, ccy = pt[first], ccx[first], ccy[first]
+            if len(pt):
+                key = ccy * nx + ccx
+                pos = np.searchsorted(ci["uniq"], key)
+                pos_c = np.minimum(pos, len(ci["uniq"]) - 1)
+                found = (pos < len(ci["uniq"])) & (ci["uniq"][pos_c] == key)
+                pt, pos = pt[found], pos[found]
+                bs, be = ci["starts"][pos], ci["ends"][pos]
+                flat, cnt = _ragged(bs, be)
+                cand = ci["nodes"][flat]
+                cpt = np.repeat(pt, cnt)
+                if len(cand):
+                    d2 = ((self.node_lon[cand] - lons[active][cpt]) ** 2
+                          + (self.node_lat[cand] - lats[active][cpt]) ** 2)
+                    # segment-min with tie -> lowest dense index: sort by
+                    # (point, d2, idx), keep first row per point
+                    o = np.lexsort((cand, d2, cpt))
+                    cpt_s, first = np.unique(cpt[o], return_index=True)
+                    sel = o[first]
+                    upd = active[cpt_s]
+                    better = (d2[sel] < best_d2[upd]) | (
+                        (d2[sel] == best_d2[upd]) & (cand[sel] < best_idx[upd]))
+                    best_d2[upd[better]] = d2[sel][better]
+                    best_idx[upd[better]] = cand[sel][better]
+            # finalize: unseen shells are >= shell*cd away (strict < keeps
+            # exact-boundary ties expanding one more shell)
+            done = (best_d2[active] < (shell[active] * cd) ** 2) | (
+                shell[active] >= max_shell[active])
+            shell[active] += 1
+            active = active[~done]
+        return best_idx
+
     # --------------------------------------------------------- serialization
 
     def to_broadcastable(self) -> dict:

@@ -118,3 +118,34 @@ def test_edge_lookup_hydrates_pairs(spark, road_dfs):
     assert hit["edge_id"] == e["edge_id"][0] and hit["weight"] == e["weight"][0]
     miss = out[out["src"] == 999].iloc[0]
     assert pd.isna(miss["edge_id"])  # Option::None -> NULL columns
+
+
+def test_ring_nearest_matches_brute_everywhere(spark):
+    """Ring-expansion 1-NN ≡ the brute argmin oracle for in-grid, edge-of-
+    grid, and far-outside query points (including exact-node hits), on a
+    dense network — the scale path must be a pure drop-in."""
+    from routers_spark.fixtures.roads import grid_network
+    from routers_spark.graph.dijkstra import nearest_node
+
+    nodes, edges = grid_network(25)
+    g = build_packed_graph(nodes, edges)
+    rng = np.random.default_rng(3)
+    lon0, lat0 = nodes["lon"].mean(), nodes["lat"].mean()
+    span = 0.02
+    qs = [
+        (lon0 + rng.uniform(-span, span), lat0 + rng.uniform(-span, span))
+        for _ in range(200)
+    ]
+    # exact node hits + corners + far outside the grid bbox
+    qs += [(nodes["lon"].iloc[7], nodes["lat"].iloc[7]),
+           (nodes["lon"].min(), nodes["lat"].min()),
+           (nodes["lon"].max() + 0.5, nodes["lat"].max() + 0.3),
+           (0.0, 0.0)]
+    lons = np.array([q[0] for q in qs])
+    lats = np.array([q[1] for q in qs])
+    got = g.nearest_nodes(lons, lats)
+    for i in range(len(qs)):
+        want = nearest_node(g, lons[i], lats[i])
+        d2w = (g.node_lon[want] - lons[i]) ** 2 + (g.node_lat[want] - lats[i]) ** 2
+        d2g = (g.node_lon[got[i]] - lons[i]) ** 2 + (g.node_lat[got[i]] - lats[i]) ** 2
+        assert got[i] == want, (i, d2w, d2g)
