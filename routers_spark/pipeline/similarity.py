@@ -100,11 +100,15 @@ def brute_topk_cosine(corpus_df: DataFrame, query_vecs: np.ndarray,
 def build_lsh_index(corpus_df: DataFrame, dim: int, n_planes: int = 8,
                     n_tables: int = 4, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
-    """Bucket the corpus ONCE into (table, bucket) rows — the persistent ANN
-    index (one narrow Arrow pass, n_tables rows per vector). At scale this
-    is written out partitioned by (t, bucket) and reused across query
-    batches; probe compute then scales with bucket occupancy, not corpus
-    size."""
+    """Bucket the corpus ONCE into (id, table, bucket) rows — the persistent
+    ANN index (one narrow Arrow pass, n_tables rows per vector). The index
+    carries IDS ONLY: at 100 TB the embedding is the heaviest column, and
+    duplicating it n_tables× through the index shuffle/storage multiplies
+    exactly that column (round-2 verdict #4). Vectors are re-joined by id
+    AFTER the probe prunes candidates, so the heavy column moves once and
+    only for surviving rows. At scale the index is written out partitioned
+    by (t, bucket) and reused across query batches; probe compute scales
+    with bucket occupancy, not corpus size."""
     planes = [deterministic_planes(dim, n_planes, seed=100 + t)
               for t in range(n_tables)]
 
@@ -117,14 +121,13 @@ def build_lsh_index(corpus_df: DataFrame, dim: int, n_planes: int = 8,
             for t, p in enumerate(planes):
                 frames.append(pd.DataFrame({
                     id_col: pdf[id_col].values,
-                    vec_col: pdf[vec_col].values,
                     "t": t,
                     "bucket": sign_bucket(m, p),
                 }))
             yield pd.concat(frames, ignore_index=True)
 
     return corpus_df.select(id_col, vec_col).mapInPandas(
-        gen, schema=f"{id_col} long, {vec_col} array<float>, t int, bucket long")
+        gen, schema=f"{id_col} long, t int, bucket long")
 
 
 def embedding_dedup(corpus_df: DataFrame, threshold: float = 0.95,
@@ -150,15 +153,20 @@ def embedding_dedup(corpus_df: DataFrame, threshold: float = 0.95,
     index = build_lsh_index(corpus_df, dim, n_planes, n_tables, id_col, vec_col)
     a = index.alias("a")
     b = index.alias("b")
+    # id-only self-join; vectors re-join AFTER the dedup'd candidate set is
+    # known (the heavy column never rides the n_tables× index rows)
+    vecs = corpus_df.select(id_col, vec_col)
     cand = (
         a.join(b, (F.col("a.t") == F.col("b.t"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"a.{vec_col}").alias("vec_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col(f"b.{vec_col}").alias("vec_b"))
+                F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(vecs.withColumnsRenamed({id_col: "id_a", vec_col: "vec_a"}),
+              "id_a")
+        .join(vecs.withColumnsRenamed({id_col: "id_b", vec_col: "vec_b"}),
+              "id_b")
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -232,10 +240,12 @@ def build_ivf_index(corpus_df: DataFrame, centroids: np.ndarray,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """Assign every corpus vector to its nearest centroid's inverted list —
-    one narrow Arrow pass against the broadcast quantizer. At scale this is
-    written out partitioned by ``list_id`` and reused across query batches
-    (the persistent IVF index); exactly one row per vector (vs the LSH
-    index's n_tables rows)."""
+    one narrow Arrow pass against the broadcast quantizer. The index rows
+    are (id, list_id) ONLY — the embedding re-joins by id after the probe,
+    so the heaviest column never rides the index shuffle (round-2 verdict
+    #4). At scale this is written out partitioned by ``list_id`` and reused
+    across query batches (the persistent IVF index); exactly one row per
+    vector (vs the LSH index's n_tables rows)."""
     spark = corpus_df.sparkSession
     bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
 
@@ -248,12 +258,11 @@ def build_ivf_index(corpus_df: DataFrame, centroids: np.ndarray,
             mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             yield pd.DataFrame({
                 id_col: pdf[id_col].values,
-                vec_col: pdf[vec_col].values,
                 "list_id": np.argmax(mn @ c.T, axis=1).astype(np.int32),
             })
 
     return corpus_df.select(id_col, vec_col).mapInPandas(
-        gen, schema=f"{id_col} long, {vec_col} array<float>, list_id int")
+        gen, schema=f"{id_col} long, list_id int")
 
 
 def ivf_topk_cosine(corpus_df: DataFrame, query_vecs: np.ndarray,
@@ -287,7 +296,8 @@ def ivf_topk_cosine(corpus_df: DataFrame, query_vecs: np.ndarray,
 
     cand = (
         index_df.join(F.broadcast(probes), "list_id")
-        .select(id_col, vec_col, "query_id")
+        .select(id_col, "query_id")
+        .join(corpus_df.select(id_col, vec_col), id_col)
     )
 
     return _score_and_rank(cand, qn, q_ids, k, id_col, vec_col)
@@ -361,8 +371,9 @@ def lsh_topk_cosine(corpus_df: DataFrame, query_vecs: np.ndarray,
 
     cand = (
         index_df.join(F.broadcast(probes), ["t", "bucket"])
-        .select(id_col, vec_col, "query_id")
+        .select(id_col, "query_id")
         .dropDuplicates([id_col, "query_id"])
+        .join(corpus_df.select(id_col, vec_col), id_col)
     )
 
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)

@@ -319,3 +319,32 @@ def test_embedding_dedup_recovers_planted_duplicates(spark):
     assert all(out[c] == c for c in set(out.values()))
     # non-duplicates keep themselves
     assert out[5] == 5 and out[37] == 37
+
+
+def test_ann_indexes_are_id_only(spark):
+    """Scale guard (round-2 verdict #4): the persistent ANN index rows are
+    (id, t, bucket)/(id, list_id) ONLY — the embedding column must never
+    ride the index shuffle n_tables× — and the probe side of the candidate
+    join stays a broadcast hash join."""
+    from routers_spark.pipeline.similarity import (
+        build_ivf_index,
+        build_lsh_index,
+        lsh_topk_cosine,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    corpus = rng.normal(size=(200, 16))
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(200, dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in corpus],
+    }))
+    lsh = build_lsh_index(df, dim=16)
+    assert set(lsh.columns) == {"vec_id", "t", "bucket"}
+    cents = train_ivf_centroids(df, nlist=4, sample=64)
+    ivf = build_ivf_index(df, cents)
+    assert set(ivf.columns) == {"vec_id", "list_id"}
+
+    out = lsh_topk_cosine(df, corpus[:3], np.arange(3), k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
