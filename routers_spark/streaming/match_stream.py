@@ -220,12 +220,23 @@ STATE_SCHEMA = (
 )
 
 
-def match_stream(events_df, nodes_df, edges_df,
-                 opts: MatchOptions | None = None):
+def match_stream(events_df, nodes_df=None, edges_df=None,
+                 opts: MatchOptions | None = None,
+                 registry=None):
     """Structured Streaming wrapper: events_df is a streaming DataFrame of
     (vehicle_id long, ts_us long, lon double, lat double). Output: matched
     layers with revision + finality. Partitioning uses the stable splitmix
-    contract, not Spark's default hash (O13)."""
+    contract, not Spark's default hash (O13).
+
+    Graph distribution, two modes:
+      - ``nodes_df``/``edges_df``: packed once, broadcast — fixed for the
+        life of the query (a Spark broadcast is captured at plan time).
+      - ``registry`` (:class:`routers_spark.streaming.epoch.GraphRegistry`):
+        the R6-complete LIVE mode — each task resolves the registry's
+        CURRENT epoch and hydrates that graph, so a mid-stream ``publish``
+        takes effect from the next micro-batch; states that last solved
+        under the old epoch restart from raw origins and flag their
+        transition batch ``downgraded`` (matcher/entity.rs:253-258)."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -235,13 +246,21 @@ def match_stream(events_df, nodes_df, edges_df,
     import uuid
 
     spark = events_df.sparkSession
-    g = build_packed_graph(nodes_df.toPandas(), edges_df.toPandas())
-    bc = spark.sparkContext.broadcast(g.to_broadcastable())
-    bc_key = uuid.uuid4().hex
+    if registry is None:
+        g = build_packed_graph(nodes_df.toPandas(), edges_df.toPandas())
+        bc = spark.sparkContext.broadcast(g.to_broadcastable())
+        bc_key = uuid.uuid4().hex
     opts = opts or MatchOptions(drop_unanchored=True)
 
     def update(key, pdfs, state):
-        graph = hydrate(bc, bc_key)
+        if registry is not None:
+            from routers_spark.streaming.epoch import task_graph
+
+            epoch, graph = task_graph(registry)
+            gkey = f"epoch:{epoch}"
+        else:
+            graph = hydrate(bc, bc_key)
+            gkey = bc_key
         vehicle = key[0]
         if state.exists:
             st = VehicleMatcherState.from_tuple(state.get)
@@ -252,7 +271,7 @@ def match_stream(events_df, nodes_df, edges_df,
         for pdf in pdfs:
             obs += [(int(t), float(lo), float(la)) for t, lo, la in
                     zip(pdf["ts_us"], pdf["lon"], pdf["lat"])]
-        rows = st.process(graph, obs, opts, graph_key=bc_key)
+        rows = st.process(graph, obs, opts, graph_key=gkey)
         state.update((
             [[float(a), b, c] for a, b, c in st.history],
             st.last_ts, st.revision, st.emitted_through, st.graph_key,

@@ -166,3 +166,67 @@ def test_cell_count_stream_watermark_drops_late(spark, tmp_path):
     bcounts = {r["window_start"].strftime("%H:%M"): r["n"]
                for _, r in batch.iterrows()}
     assert bcounts == counts
+
+
+@pytest.mark.slow
+def test_graph_epoch_swap_takes_effect(spark, tmp_path):
+    """R6 completion: with a GraphRegistry, publishing a NEW graph epoch
+    between micro-batch passes changes the graph the stream matches
+    against — post-swap rows carry the new graph's edge ids (the swap
+    actually took effect, not just a flag) and the restored states flag
+    their transition batch downgraded. The streaming plan is built ONCE;
+    only the registry's CURRENT pointer moves."""
+    from routers_spark.fixtures.roads import straight_road
+    from routers_spark.streaming.epoch import GraphRegistry
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    reg = GraphRegistry(str(tmp_path / "graphs"))
+    os.makedirs(reg.path)
+
+    nodes, edges = straight_road()
+    reg.publish(nodes, edges, "1")
+
+    def run_pass():
+        events = spark.readStream.schema(EV_SCHEMA).parquet(src)
+        q = (
+            match_stream(events, registry=reg)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).outputMode("append").start()
+        )
+        q.awaitTermination(300)
+
+    batch1 = pd.DataFrame({
+        "vehicle_id": [7, 7],
+        "ts_us": [1_000_000, 2_000_000],
+        "lon": [-118.151, -118.155],
+        "lat": [34.1501, 34.1499],
+    })
+    spark.createDataFrame(batch1).write.mode("append").parquet(src)
+    run_pass()
+    rows1 = spark.read.parquet(out).collect()
+    assert rows1 and all(r.edge_id < 1000 for r in rows1)
+    assert all(not r.downgraded for r in rows1)
+
+    # publish epoch 2: same geometry, RENUMBERED edges — any post-swap match
+    # must surface the new ids, proving the stream re-hydrated the graph
+    edges2 = edges.copy()
+    edges2["edge_id"] = edges2["edge_id"] + 1000
+    reg.publish(nodes, edges2, "2")
+
+    batch2 = pd.DataFrame({
+        "vehicle_id": [7, 7],
+        "ts_us": [3_000_000, 4_000_000],
+        "lon": [-118.161, -118.168],
+        "lat": [34.1501, 34.1499],
+    })
+    spark.createDataFrame(batch2).write.mode("append").parquet(src)
+    run_pass()
+    rows2 = [r for r in spark.read.parquet(out).collect()
+             if r.ts_us >= 3_000_000 or r.revision >= 2]
+    assert rows2, "post-swap batch emitted nothing"
+    assert all(r.edge_id >= 1000 for r in rows2)  # NEW graph in use
+    assert all(r.downgraded for r in rows2)       # transition flagged
