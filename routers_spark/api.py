@@ -165,10 +165,19 @@ def edge_lookup(pairs_df: DataFrame, edges_df: DataFrame,
     (src, dst) node pair to its directed edge via a broadcast hash join —
     NULL edge columns when no edge connects the pair (Option::None).
     The edge table is the broadcast side (dimension-sized); the request
-    stream never shuffles."""
+    stream never shuffles. Parallel edges (two ways between the same node
+    pair, or a fwd edge plus another way's reversed twin) collapse to ONE
+    row per (src, dst) — min(struct(edge_id, weight)), matching the
+    at-most-one Option<Edge> of the reference's GraphMap edge_weight
+    (graph.rs:346-355) and the packed graph's first-match ``edge_row``
+    (lowest edge row wins under the canonical sort)."""
     from pyspark.sql import functions as F
 
-    e = edges_df.select(
-        F.col("src").alias(src), F.col("dst").alias(dst),
-        F.col("edge_id"), F.col("weight"))
+    e = (edges_df.select(
+            F.col("src").alias(src), F.col("dst").alias(dst),
+            F.col("edge_id"), F.col("weight"))
+         .groupBy(src, dst)
+         .agg(F.min(F.struct("edge_id", "weight")).alias("_e"))
+         .select(src, dst, F.col("_e.edge_id").alias("edge_id"),
+                 F.col("_e.weight").alias("weight")))
     return pairs_df.join(F.broadcast(e), [src, dst], "left")

@@ -77,12 +77,16 @@ def write_snapshot(df: DataFrame, root: str, table: str,
         "table": table,
         "data_dir": data_dir,
         "rows": n_rows,
+        # snapshot-scoped input total, stored ONCE at manifest level —
+        # summing a per-partition copy across lineage rows would overcount
+        # input rows by the partition count
+        "rows_in": rows_in,
         "schema": committed.drop("_pid").schema.json(),
         "stage": stage,
         "inputs": inputs or [],
         "lineage": [
             {"partition_id": int(r["_pid"]), "stage": stage,
-             "rows_in": rows_in, "rows_out": int(r["count"]),
+             "rows_out": int(r["count"]),
              "wall_ms": wall_ms, "input_snapshot_ids": inputs or []}
             for r in part_rows
         ],

@@ -458,7 +458,7 @@ def _status_row(trip_id: str, status: str, output: str) -> pd.DataFrame:
 
 def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
                 output: str = "discretized", candidate_path: str = "broadcast",
-                salt: int = 0):
+                salt: int = 0, solve_salt: int = 1):
     """M17 facade: match every trip in points_df(trip_id, seq, lon, lat)
     against the road graph given as nodes(node_id, lon, lat) /
     edges(edge_id, src, dst, weight) DataFrames.
@@ -589,6 +589,24 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
     # graph analog), not duplicated per trip
     sub = sig_subgraph_edges(points_df, nodes_df, edges_df, pad_m=pad_m)
     cand_sig = cand.join(trip_cover_sigs(points_df), "trip_id")
+
+    # skew valve: trips sharing one cover signature solve sequentially in a
+    # single cogroup task, so a hot signature (fleets on repeated routes)
+    # becomes a straggler. ``solve_salt`` > 1 sub-splits every signature
+    # into that many solver groups (trips spread by stable hash; the shared
+    # subgraph duplicates into each sub-group — trading solve_salt× graph
+    # hydrations for solve_salt× solver parallelism on the hot key).
+    # Default 1: the fixture workload's 60 sigs / 1,000 trips spread fine.
+    if solve_salt > 1:
+        from pyspark.sql import functions as F
+
+        cand_sig = cand_sig.withColumn(
+            "sig", F.concat("sig", F.lit(":"),
+                            F.pmod(F.hash("trip_id"), F.lit(solve_salt))))
+        sub = sub.withColumn(
+            "sig", F.explode(F.array(*[
+                F.concat("sig", F.lit(":"), F.lit(str(i)))
+                for i in range(solve_salt)])))
 
     def run_cog(cand_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
         return _solve_cogroup_pdf(cand_pdf, edges_pdf, opts, output)

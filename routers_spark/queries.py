@@ -39,7 +39,8 @@ SUPP_LON = "(-118.5e0 + CAST((s_suppkey * 1103) % 64 AS DOUBLE) * 96.0e-4)"
 SUPP_LAT = "(33.7e0 + CAST((s_suppkey * 2749) % 64 AS DOUBLE) * 64.0e-4)"
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
+def register_views(spark: SparkSession, sf_dir: str,
+                   tune_shuffle: bool = True) -> None:
     # This runs under the CALLER's session (the driver uses a vanilla one):
     # - ANSI mode (Spark 4 default ON) makes BIGINT `*` raise on overflow,
     #   but the stable-hash kernels (splitmix/FNV) REQUIRE two's-complement
@@ -51,9 +52,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     try:
         # a vanilla session keeps the 200 default: 200 tiny tasks per
         # aggregate at oracle scale is pure scheduling overhead. Size to the
-        # box — but never touch a session that set it deliberately
-        # (bench/tests size it to cores).
-        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        # box. A session that DELIBERATELY configured 200 is
+        # indistinguishable from the default — pass ``tune_shuffle=False``
+        # to keep the helper's hands off session state (bench/tests size
+        # partitions in their own builders and are unaffected either way).
+        if tune_shuffle and \
+                spark.conf.get("spark.sql.shuffle.partitions") == "200":
             spark.conf.set("spark.sql.shuffle.partitions",
                            str(min(64, (os.cpu_count() or 4) * 2)))
     except Exception:  # noqa: BLE001

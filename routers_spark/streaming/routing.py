@@ -38,7 +38,19 @@ def route_assignments(df: DataFrame, id_col: str = "event_id",
     point, event.rs:245-252) and ``salt`` (0 for cold cells; splitmix64 of
     the id masked to ``salt_buckets`` lanes for cells with more than
     ``hot_threshold`` rows). ``salt_buckets`` must be a power of two (mask
-    == modulo under a uniform mix, partition.rs:43-45 contract)."""
+    == modulo under a uniform mix, partition.rs:43-45 contract).
+
+    BATCH input only: the occupancy count is an unpartition-bounded window
+    aggregate, which Spark does not support on streaming DataFrames.
+    Compute assignments on a batch snapshot of recent traffic and feed
+    them to :func:`route_stream` (whose join + repartition ARE
+    stream-safe) — hot-cell designation is a slowly-changing property, so
+    a periodically refreshed snapshot is the right cadence for it."""
+    if df.isStreaming:
+        raise ValueError(
+            "route_assignments needs a BATCH DataFrame (its hot-cell count "
+            "is a global window aggregate, unsupported on streams); compute "
+            "assignments on a batch snapshot and pass them to route_stream")
     assert salt_buckets & (salt_buckets - 1) == 0
 
     keep = [id_col, lon_col, lat_col]

@@ -161,3 +161,14 @@ def test_sig_subgraphs_equal_per_trip_subgraphs(spark):
     for _, r in sigs.iterrows():
         assert trip_edges.get(r["trip_id"], set()) == \
             sig_edges.get(r["sig"], set()), r["trip_id"]
+
+
+def test_celljoin_solve_salt_matches(spark, inputs):
+    """The hot-signature sub-split (solve_salt) must not change results:
+    every sub-group rebuilds the identical shared subgraph, so salted ≡
+    unsalted ≡ broadcast."""
+    points_df, nodes_df, edges_df = inputs
+    a = _sorted(match_trips(points_df, nodes_df, edges_df))
+    b = _sorted(match_trips(points_df, nodes_df, edges_df,
+                            candidate_path="celljoin", solve_salt=3))
+    pd.testing.assert_frame_equal(a, b)
