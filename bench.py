@@ -53,6 +53,7 @@ HEADLINE_ENGINE = [
     "dbscan_clusters",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_exact",
     "embedding_dedup",
     "image_features",
     "image_resize",

@@ -1661,6 +1661,75 @@ def _q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_cosine(emb, q, head["vec_id"].values, k=5)
 
 
+@sql_query("ann_ivf_exact")
+def _q_ann_ivf_exact_sql(dialect: str) -> str:
+    """ORACLE-GATED IVF: the Spark side runs the full engine IVF pipeline
+    (spherical-k-means training, inverted-list build, probe join, Arrow
+    cosine, window re-rank) in its exact-degenerate configuration
+    nprobe == nlist — mathematically the brute top-k scan — against a
+    brute-force SQL twin. Gates the probe machinery end-to-end; the
+    approximate configs remain pytest-gated by recall floors. Cosines in
+    plain DOUBLE on both sides, rounded to 6 (engine float64 vs SQL
+    sequential sums differ at ~1e-15 — far inside the rounding slack);
+    self-matches kept (rank 1, cosine 1)."""
+    if dialect == "duckdb":
+        flat = (
+            "SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS pos, "
+            "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
+        )
+    else:
+        flat = (
+            "SELECT vec_id, CAST(pos AS INT) AS pos, CAST(v AS DOUBLE) AS v "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v"
+        )
+    return f"""
+WITH flat AS ({flat}),
+q AS (SELECT * FROM flat WHERE vec_id < 8),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, SUM(q.v * c.v) AS dot
+  FROM q JOIN flat c ON q.pos = c.pos
+  GROUP BY q.vec_id, c.vec_id
+),
+norms AS (SELECT vec_id, SUM(v * v) AS nrm FROM flat GROUP BY vec_id),
+scored AS (
+  SELECT d.query_id, d.vec_id,
+         d.dot / sqrt(nq.nrm * nc.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       round(cosine, 6) AS cosine,
+       CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def _ann_ivf_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from routers_spark.pipeline.similarity import ivf_topk_cosine
+
+    register_views(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    head = emb.orderBy("vec_id").limit(8).toPandas()
+    q = np.stack(head["embedding"].values).astype(np.float64)
+    out = ivf_topk_cosine(emb, q, head["vec_id"].values, k=5,
+                          nlist=16, nprobe=16)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.round("cosine", 6).alias("cosine"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 @nosql_query("ann_ivf_topk")
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k cosine: spherical-k-means inverted lists,
@@ -1742,6 +1811,7 @@ _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_pipeline": _minhash_dedup_spark,
     "phash_dedup_pairs": _phash_dedup_spark,
     "embedding_dedup": _embedding_dedup_spark,
+    "ann_ivf_exact": _ann_ivf_exact_spark,
 }
 
 
