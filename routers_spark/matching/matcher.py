@@ -576,10 +576,15 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
         trip_cover_sigs,
     )
 
+    from routers_spark.shard.partition import edges_with_rows
+
+    # ONE ranked edge base shared by candidate generation and subgraph
+    # hydration (the dense rank's quantile/count jobs run once per query)
+    ranked = edges_with_rows(edges_df)
     cand = candidates_cell_join(
         points_df, nodes_df, edges_df,
         search_m=opts.search_distance, emission_error=opts.emission_error,
-        salt=salt,
+        salt=salt, edges_ranked=ranked,
     )
     # pad: bound (cm→m) + search + equirectangular slop so every bounded
     # Dijkstra expansion from any candidate stays inside the subgraph
@@ -587,7 +592,8 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
     # subgraphs are SHARED per cover signature (one graph per distinct cell
     # set, solved against by every trip with that cover — the per-shard
     # graph analog), not duplicated per trip
-    sub = sig_subgraph_edges(points_df, nodes_df, edges_df, pad_m=pad_m)
+    sub = sig_subgraph_edges(points_df, nodes_df, edges_df, pad_m=pad_m,
+                             edges_ranked=ranked)
     cand_sig = cand.join(trip_cover_sigs(points_df), "trip_id")
 
     # skew valve: trips sharing one cover signature solve sequentially in a

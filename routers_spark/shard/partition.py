@@ -256,14 +256,18 @@ def trip_cover_sigs(points_df: DataFrame,
 
 def sig_subgraph_edges(points_df: DataFrame, nodes_df: DataFrame,
                        edges_df: DataFrame, pad_m: float,
-                       cell_deg: float = 0.02) -> DataFrame:
+                       cell_deg: float = 0.02,
+                       edges_ranked: DataFrame | None = None) -> DataFrame:
     """Shared subgraphs keyed by cover signature: every edge whose padded
     bbox shares a coarse cell with the signature's cell set (the P4/P5
     admit rule). Row volume scales with DISTINCT signatures — measured 60
     signatures for 1,000 fixture trips (16x less subgraph duplication than
     the per-trip form). Output: (sig, edge_id, edge_row, src, dst, weight,
-    ax, ay, bx, by), deduplicated per (sig, edge_row)."""
-    base = edges_with_rows(edges_df)
+    ax, ay, bx, by), deduplicated per (sig, edge_row). ``edges_ranked``
+    (an ``edges_with_rows`` output) lets callers share one ranked base
+    across stages — the rank's quantile/count jobs then run once per
+    query."""
+    base = edges_ranked if edges_ranked is not None else edges_with_rows(edges_df)
     cover = edges_with_cover_cells(base, nodes_df, cell_deg, pad_m=pad_m)
     tc = point_cells(
         points_df.select("trip_id", "lon", "lat"), cell_deg
@@ -285,7 +289,8 @@ def candidates_cell_join(points_df: DataFrame, nodes_df: DataFrame,
                          search_m: float = DEFAULT_SEARCH_DISTANCE_M,
                          emission_error: float = DEFAULT_EMISSION_ERROR_M,
                          cell_deg: float = 0.002,
-                         salt: int = 0) -> DataFrame:
+                         salt: int = 0,
+                         edges_ranked: DataFrame | None = None) -> DataFrame:
     """Stage A of the match lifecycle as a distributed cell equi-join
     (SURVEY §3.1): points join the padded edge cover on their single cell,
     a JVM bbox prefilter reproduces the square-box scan (X4 semantics via
@@ -297,7 +302,7 @@ def candidates_cell_join(points_df: DataFrame, nodes_df: DataFrame,
     ``salt`` sub-keys and each point picks one pseudo-randomly — the
     explicit skew-handling knob (north rule) on top of AQE's skew splits.
     """
-    base = edges_with_rows(edges_df)
+    base = edges_ranked if edges_ranked is not None else edges_with_rows(edges_df)
     edges_cover = edges_with_cover_cells(
         base, nodes_df, cell_deg, pad_m=search_m * 1.5 + 10.0
     )
