@@ -64,12 +64,17 @@ def main() -> None:
     # conformance harness measures after 5 warm-up iterations
     # (conformance/conformance.toml:5-11); this measures steady-state
     # THROUGHPUT scaling (long-lived executors), not interpreter spawn.
-    match_trips(points_df.limit(5000), nodes_df, edges_df) \
-        .write.mode("overwrite").format("noop").save()
+    # ONE plan (one graph broadcast) reused across iterations: rebuilding
+    # match_trips per iteration re-broadcasts the graph under a fresh key,
+    # so every python worker re-hydrates and re-warms its predicate cache
+    # inside the timed window — that measures COLD warm-up (a per-deploy
+    # one-time cost), not the steady-state throughput this job is defined
+    # to measure, and it biases the 4N level (4x the redundant warm-up).
+    matched = match_trips(points_df, nodes_df, edges_df)
+    matched.limit(5000).write.mode("overwrite").format("noop").save()
     match_sec = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        matched = match_trips(points_df, nodes_df, edges_df)
         matched.write.mode("overwrite").format("noop").save()
         match_sec = min(match_sec, time.perf_counter() - t0)
     match_rows = len(trips)  # one output row per GPS point
