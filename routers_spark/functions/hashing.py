@@ -108,12 +108,21 @@ def splitmix64_sql(x: str, dialect: str) -> str:
 def p_splitmix64(p, x_col: str, dialect: str) -> str:
     """splitmix64 as bound program steps (linear SQL text; see
     sqlgen.Program)."""
+    return p_splitmix64_multi(p, [x_col], dialect)[0]
+
+
+def p_splitmix64_multi(p, x_cols: list[str], dialect: str) -> list[str]:
+    """splitmix64 over SEVERAL inputs in lockstep: all lanes advance one
+    mixing step per CTE level, so an n-lane family costs the same 5 levels
+    as one chain. Chain DEPTH (not width) is what Spark's analyzer and
+    whole-stage codegen pay for — the 8-hash minhash program dropped from
+    ~51 to ~17 levels this way (cold plan seconds, same values)."""
     xor, ushr, mul = sql_ops(dialect)
-    e = p.let(xor(x_col, ushr(x_col, 30)))
-    e = p.let(mul(e, 0xBF58476D1CE4E5B9))
-    e = p.let(xor(e, ushr(e, 27)))
-    e = p.let(mul(e, 0x94D049BB133111EB))
-    return p.let(xor(e, ushr(e, 31)))
+    es = p.let_many([xor(x, ushr(x, 30)) for x in x_cols])
+    es = p.let_many([mul(e, 0xBF58476D1CE4E5B9) for e in es])
+    es = p.let_many([xor(e, ushr(e, 27)) for e in es])
+    es = p.let_many([mul(e, 0x94D049BB133111EB) for e in es])
+    return p.let_many([xor(e, ushr(e, 31)) for e in es])
 
 
 def p_fnv1a_chars(p, text_col: str, start_col: str, k: int, dialect: str) -> str:

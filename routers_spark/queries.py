@@ -706,15 +706,19 @@ def _q_minhash(dialect: str) -> str:
     xor, _, _ = sql_ops(dialect)
     p = sqlgen.Program(_shingle_source(dialect), ["doc_id"])
     h = p_fnv1a_chars(p, "text", "i", 5, dialect)
-    finals = ["CAST(doc_id AS BIGINT) AS doc_id"]
-    for s in range(DEFAULT_N_HASHES):
-        seed = to_i64(int(seed_of(s)))
-        x = p.let(xor(h, str(seed)))
-        m = hashing.p_splitmix64(p, x, dialect)
-        flipped = p.let(xor(m, str(_I64_MSB)))
-        finals.append(
-            f"CAST({xor(f'MIN({flipped})', str(_I64_MSB))} AS BIGINT) AS mh{s}"
-        )
+    # all 8 hash-family lanes advance in LOCKSTEP (one CTE level per mixing
+    # step, not one chain per lane): ~17 levels instead of ~51 — the cold
+    # plan's analyzer+codegen cost tracks chain depth
+    xs = p.let_many([
+        xor(h, str(to_i64(int(seed_of(s)))))
+        for s in range(DEFAULT_N_HASHES)
+    ])
+    ms = hashing.p_splitmix64_multi(p, xs, dialect)
+    flipped = p.let_many([xor(m, str(_I64_MSB)) for m in ms])
+    finals = ["CAST(doc_id AS BIGINT) AS doc_id"] + [
+        f"CAST({xor(f'MIN({f})', str(_I64_MSB))} AS BIGINT) AS mh{s}"
+        for s, f in enumerate(flipped)
+    ]
     return p.render(finals, group_by=["doc_id"])
 
 
