@@ -39,6 +39,7 @@ HEADLINE_SQL = [
     "zone_assign_cells",
     "access_eval",
     "way_edge_expansion",
+    "osm_pbf_way_expansion",
     "tile_range_scan",
     "geo_route_assign",
     "phash_hamming_pairs",

@@ -1,0 +1,377 @@
+"""OSM PBF source (S1) — a from-scratch reader for the PUBLIC OpenStreetMap
+PBF format (wiki.openstreetmap.org/wiki/PBF_Format; fileformat.proto /
+osmformat.proto), Spark-shaped:
+
+  - :func:`scan_blobs` walks the file's blob FRAMING only (4-byte
+    big-endian BlobHeader length → BlobHeader → seek past the payload):
+    a ~KB-per-blob driver pass that yields byte-range descriptors, the
+    analog of the reference's mmap blob iterator
+    (libs/routers_codec/src/osm/blob/iterator.rs:18-60).
+  - :func:`read_pbf_nodes` / :func:`read_pbf_ways` distribute the
+    descriptors and decode each blob INDEPENDENTLY inside ``mapInPandas``
+    (executors range-read the shared path — the object-store access
+    pattern at cluster scale; blobs are ≤16 MB by spec, so per-task memory
+    is bounded). Element parity with the reference's block iterator
+    (element/iterator.rs): dense nodes with delta-coded id/lat/lon, ways
+    with delta-coded refs + stringtable tags.
+  - the hot arrays (packed varints: dense-node ids/coords, way refs) are
+    decoded with a VECTORIZED numpy kernel — no per-byte Python in the
+    bulk path; message framing (a handful of fields per block) is scalar.
+  - :func:`osm_pbf_to_graph` feeds the decoded tables straight into the
+    S2/S3 relational pipeline (graph/build.py ways_to_edges), completing
+    the reference's ingest lifecycle PBF → filtered directed edge rows
+    (osm/graph.rs:226-252).
+
+A writer (:func:`write_osm_pbf`) exists so fixtures can round-trip without
+external data: it emits spec-compliant zlib blobs (granularity 100 = the
+standard 1e-7° coordinate resolution).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- wire level
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    val = 0
+    shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+
+
+def _fields(buf: bytes):
+    """Iterate (field_no, wire_type, value) over one protobuf message.
+    wt 0 → int value; wt 2 → memoryview of the sub-buffer; wt 1/5 → raw."""
+    mv = memoryview(buf)
+    i, n = 0, len(mv)
+    while i < n:
+        key, i = _read_varint(mv, i)
+        fno, wt = key >> 3, key & 7
+        if wt == 0:
+            v, i = _read_varint(mv, i)
+            yield fno, 0, v
+        elif wt == 2:
+            ln, i = _read_varint(mv, i)
+            yield fno, 2, mv[i:i + ln]
+            i += ln
+        elif wt == 5:
+            yield fno, 5, mv[i:i + 4]
+            i += 4
+        elif wt == 1:
+            yield fno, 1, mv[i:i + 8]
+            i += 8
+        else:  # groups (3/4) never appear in OSM PBF
+            raise ValueError(f"unsupported wire type {wt}")
+
+
+def decode_packed_varints(data) -> np.ndarray:
+    """Vectorized packed-varint decode: ends found via the continuation
+    bit, every byte's 7-bit payload shifted into its varint lane with one
+    scatter-add. Returns uint64."""
+    b = np.frombuffer(bytes(data), dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.nonzero((b & 0x80) == 0)[0]
+    lengths = np.diff(np.concatenate([[-1], ends]))
+    starts = ends - lengths + 1
+    vid = np.repeat(np.arange(len(ends)), lengths)
+    pos = np.arange(len(b)) - starts[vid]
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos.astype(np.uint64))
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    np.add.at(vals, vid, contrib)  # lanes never overlap bits: add == or
+    return vals
+
+
+def unzigzag(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64)
+    return ((v >> np.uint64(1)).astype(np.int64)
+            ^ -((v & np.uint64(1)).astype(np.int64)))
+
+
+def zigzag_encode(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64)
+    with np.errstate(over="ignore"):
+        return ((v << np.int64(1)) ^ (v >> np.int64(63))).astype(np.uint64)
+
+
+# ------------------------------------------------------------- blob framing
+
+
+def scan_blobs(path: str) -> pd.DataFrame:
+    """Blob descriptors (blob_idx, blob_type, offset, size) via a
+    headers-only pass — payloads are seek()ed past, never read."""
+    rows = []
+    with open(path, "rb") as f:
+        idx = 0
+        while True:
+            head = f.read(4)
+            if len(head) < 4:
+                break
+            hlen = struct.unpack(">I", head)[0]
+            hdr = f.read(hlen)
+            btype, dsize = "", 0
+            for fno, _, v in _fields(hdr):
+                if fno == 1:
+                    btype = bytes(v).decode()
+                elif fno == 3:
+                    dsize = v
+            rows.append((idx, btype, f.tell(), dsize))
+            f.seek(dsize, 1)
+            idx += 1
+    return pd.DataFrame(rows, columns=["blob_idx", "blob_type", "offset",
+                                       "size"])
+
+
+def _blob_payload(raw: bytes) -> bytes:
+    """Blob message → uncompressed block bytes (raw or zlib per spec)."""
+    for fno, _, v in _fields(raw):
+        if fno == 1:
+            return bytes(v)
+        if fno == 3:
+            return zlib.decompress(bytes(v))
+    raise ValueError("blob carries no raw/zlib payload")
+
+
+# -------------------------------------------------------- block decode
+
+
+def _parse_block(data: bytes):
+    """PrimitiveBlock → (strings, groups, granularity, lat_off, lon_off)."""
+    strings: list[str] = []
+    groups = []
+    gran, lat_off, lon_off = 100, 0, 0
+    for fno, _, v in _fields(data):
+        if fno == 1:
+            strings = [bytes(s).decode("utf-8", "replace")
+                       for f2, _, s in _fields(v) if f2 == 1]
+        elif fno == 2:
+            groups.append(v)
+        elif fno == 17:
+            gran = v
+        elif fno == 19:
+            lat_off = v
+        elif fno == 20:
+            lon_off = v
+    return strings, groups, gran, lat_off, lon_off
+
+
+def _decode_nodes_block(data: bytes) -> pd.DataFrame:
+    _, groups, gran, lat_off, lon_off = _parse_block(data)
+    ids_c, lon_c, lat_c = [], [], []
+    for g in groups:
+        for fno, _, v in _fields(g):
+            if fno != 2:  # DenseNodes only (sparse Node unused by practice)
+                continue
+            ids = lats = lons = None
+            for f2, _, v2 in _fields(v):
+                if f2 == 1:
+                    ids = np.cumsum(unzigzag(decode_packed_varints(v2)))
+                elif f2 == 8:
+                    lats = np.cumsum(unzigzag(decode_packed_varints(v2)))
+                elif f2 == 9:
+                    lons = np.cumsum(unzigzag(decode_packed_varints(v2)))
+            if ids is None:
+                continue
+            ids_c.append(ids.astype(np.int64))
+            lat_c.append(1e-9 * (lat_off + gran * lats.astype(np.float64)))
+            lon_c.append(1e-9 * (lon_off + gran * lons.astype(np.float64)))
+    if not ids_c:
+        return pd.DataFrame({"node_id": np.empty(0, np.int64),
+                             "lon": np.empty(0), "lat": np.empty(0)})
+    return pd.DataFrame({"node_id": np.concatenate(ids_c),
+                         "lon": np.concatenate(lon_c),
+                         "lat": np.concatenate(lat_c)})
+
+
+def _decode_ways_block(data: bytes) -> pd.DataFrame:
+    strings, groups, *_ = _parse_block(data)
+    wid_c, refs_c, tags_c = [], [], []
+    for g in groups:
+        for fno, _, v in _fields(g):
+            if fno != 3:  # Way messages
+                continue
+            wid, keys, vals, refs = None, None, None, None
+            for f2, wt2, v2 in _fields(v):
+                if f2 == 1:
+                    wid = v2
+                elif f2 == 2:
+                    keys = decode_packed_varints(v2)
+                elif f2 == 3:
+                    vals = decode_packed_varints(v2)
+                elif f2 == 8:
+                    refs = np.cumsum(unzigzag(decode_packed_varints(v2)))
+            if wid is None:
+                continue
+            tags = ({strings[int(k)]: strings[int(va)]
+                     for k, va in zip(keys, vals)}
+                    if keys is not None and vals is not None else {})
+            wid_c.append(int(wid))
+            refs_c.append(refs.astype(np.int64).tolist()
+                          if refs is not None else [])
+            tags_c.append(tags)
+    return pd.DataFrame({"way_id": pd.Series(wid_c, dtype=np.int64),
+                         "refs": pd.Series(refs_c, dtype=object),
+                         "tags": pd.Series(tags_c, dtype=object)})
+
+
+NODES_SCHEMA = "node_id long, lon double, lat double"
+WAYS_SCHEMA = "way_id long, refs array<long>, tags map<string,string>"
+
+
+def _read_elements(spark: SparkSession, path: str, decode_fn, schema: str,
+                   num_partitions: int | None = None) -> DataFrame:
+    desc = scan_blobs(path)
+    desc = desc[desc["blob_type"] == "OSMData"]
+    if len(desc) == 0:
+        return spark.createDataFrame([], schema)
+    n_part = num_partitions or min(len(desc),
+                                   spark.sparkContext.defaultParallelism)
+    bdf = spark.createDataFrame(desc).repartition(n_part, "blob_idx")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(path, "rb") as f:
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    f.seek(int(r.offset))
+                    out = decode_fn(_blob_payload(f.read(int(r.size))))
+                    if len(out):
+                        yield out
+
+    return bdf.mapInPandas(gen, schema=schema)
+
+
+def read_pbf_nodes(spark: SparkSession, path: str,
+                   num_partitions: int | None = None) -> DataFrame:
+    """Distributed dense-node decode: (node_id, lon, lat)."""
+    return _read_elements(spark, path, _decode_nodes_block, NODES_SCHEMA,
+                          num_partitions)
+
+
+def read_pbf_ways(spark: SparkSession, path: str,
+                  num_partitions: int | None = None) -> DataFrame:
+    """Distributed way decode: (way_id, refs, tags)."""
+    return _read_elements(spark, path, _decode_ways_block, WAYS_SCHEMA,
+                          num_partitions)
+
+
+_TRUTHY_ONEWAY = ("yes", "true", "1")
+
+
+def osm_pbf_to_graph(spark: SparkSession, path: str):
+    """The full S1→S3 ingest: PBF → (nodes_df, edges_df) with the highway
+    whitelist, road-class weights and bidirectional twins applied by the
+    relational pipeline (graph/build.py). ``oneway`` truthiness follows the
+    OSM convention (yes/true/1; -1 reversed ways are rare and out of the
+    reference's model too)."""
+    from routers_spark.graph.build import ways_to_edges
+
+    nodes = read_pbf_nodes(spark, path)
+    ways = read_pbf_ways(spark, path).select(
+        "way_id", "refs",
+        F.col("tags")["highway"].alias("highway"),
+        F.coalesce(F.col("tags")["oneway"].isin(*_TRUTHY_ONEWAY),
+                   F.lit(False)).alias("oneway"),
+    )
+    return nodes, ways_to_edges(ways)
+
+
+# ------------------------------------------------------------------ writer
+
+
+def _enc_varint(v: int) -> bytes:
+    out = bytearray()
+    v = int(v)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_tag(fno: int, payload: bytes) -> bytes:
+    return _enc_varint((fno << 3) | 2) + _enc_varint(len(payload)) + payload
+
+
+def _enc_int(fno: int, v: int) -> bytes:
+    return _enc_varint(fno << 3) + _enc_varint(v)
+
+
+def _enc_packed_deltas(fno: int, values: np.ndarray) -> bytes:
+    deltas = np.diff(np.concatenate([[0], values.astype(np.int64)]))
+    payload = b"".join(_enc_varint(int(z)) for z in zigzag_encode(deltas))
+    return _enc_tag(fno, payload)
+
+
+def write_osm_pbf(path: str, nodes_pdf: pd.DataFrame, ways_pdf: pd.DataFrame,
+                  nodes_per_blob: int = 4000, granularity: int = 100) -> None:
+    """Spec-compliant writer (fixtures only — no external data): dense
+    nodes split across blobs, one ways blob, zlib-compressed, granularity
+    100 (the standard 1e-7° resolution). ways_pdf: (way_id, refs, tags)."""
+    blobs: list[bytes] = []
+
+    def finish_block(groups: list[bytes], strings: list[str]) -> bytes:
+        st = _enc_tag(1, b"".join(
+            _enc_tag(1, s.encode()) for s in strings))
+        block = st + b"".join(_enc_tag(2, g) for g in groups)
+        block += _enc_int(17, granularity)
+        return block
+
+    nodes_pdf = nodes_pdf.sort_values("node_id")
+    for s in range(0, len(nodes_pdf), nodes_per_blob):
+        part = nodes_pdf.iloc[s:s + nodes_per_blob]
+        ids = part["node_id"].values.astype(np.int64)
+        lat_u = np.round(part["lat"].values * 1e9 / granularity).astype(np.int64)
+        lon_u = np.round(part["lon"].values * 1e9 / granularity).astype(np.int64)
+        dense = (_enc_packed_deltas(1, ids) + _enc_packed_deltas(8, lat_u)
+                 + _enc_packed_deltas(9, lon_u))
+        blobs.append(finish_block([_enc_tag(2, dense)], [""]))
+
+    strings = [""]  # index 0 is reserved/unused by spec
+    sindex: dict[str, int] = {}
+
+    def intern(s: str) -> int:
+        i = sindex.get(s)
+        if i is None:
+            i = len(strings)
+            strings.append(s)
+            sindex[s] = i
+        return i
+
+    ways = []
+    for r in ways_pdf.itertuples(index=False):
+        tags = r.tags or {}
+        keys = b"".join(_enc_varint(intern(k)) for k in tags)
+        vals = b"".join(_enc_varint(intern(v)) for v in tags.values())
+        w = _enc_int(1, int(r.way_id))
+        if tags:
+            w += _enc_tag(2, keys) + _enc_tag(3, vals)
+        w += _enc_packed_deltas(8, np.asarray(r.refs, dtype=np.int64))
+        ways.append(_enc_tag(3, w))
+    blobs.append(finish_block(ways, strings))
+
+    with open(path, "wb") as f:
+        for i, block in enumerate(blobs):
+            comp = zlib.compress(block)
+            blob = _enc_int(2, len(block)) + _enc_tag(3, comp)
+            hdr = _enc_tag(1, b"OSMData") + _enc_int(3, len(blob))
+            f.write(struct.pack(">I", len(hdr)))
+            f.write(hdr)
+            f.write(blob)

@@ -1090,6 +1090,64 @@ def _way_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@sql_query("osm_pbf_way_expansion")
+def _q_pbf_way_edges(dialect: str) -> str:
+    """S1 OSM PBF source, ORACLE-GATED: the way_edge_expansion corpus is
+    ENCODED into a spec-compliant OSM PBF file (io/osm_pbf.py writer:
+    zlib blobs, stringtable tags, delta-coded refs), then DECODED by the
+    distributed blob reader and expanded by the S2/S3 relational pipeline.
+    Way/node ids are integers, so the PBF cycle is exact and the oracle is
+    the SAME windowed SQL as way_edge_expansion — a hash mismatch anywhere
+    in framing, varint/zigzag, stringtable, or tag handling fails the
+    gate."""
+    return _q_way_edges(dialect)
+
+
+def _pbf_way_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from routers_spark.io.osm_pbf import osm_pbf_to_graph, write_osm_pbf
+
+    register_views(spark, sf_dir)
+    ways_pdf = spark.sql(f"""
+        SELECT way_id,
+               transform(array_sort(collect_list(struct(ln, node))),
+                         s -> s.node) AS refs,
+               {_hw_case("way_id")} AS highway,
+               (way_id % 3 = 0) AS oneway
+        FROM (SELECT CAST(l_orderkey AS BIGINT) AS way_id,
+                     l_linenumber AS ln,
+                     CAST(l_partkey AS BIGINT) AS node
+              FROM lineitem)
+        GROUP BY way_id
+    """).toPandas()
+    ways_pdf["tags"] = [
+        {"highway": h, **({"oneway": "yes"} if ow else {})}
+        for h, ow in zip(ways_pdf["highway"], ways_pdf["oneway"])
+    ]
+    all_refs = sorted({int(r) for refs in ways_pdf["refs"] for r in refs})
+    nodes_pdf = pd.DataFrame({
+        "node_id": np.array(all_refs, dtype=np.int64),
+        "lon": np.zeros(len(all_refs)), "lat": np.zeros(len(all_refs)),
+    })
+    d = tempfile.mkdtemp(prefix="pbf_oracle_")
+    path = os.path.join(d, "ways.osm.pbf")
+    write_osm_pbf(path, nodes_pdf, ways_pdf[["way_id", "refs", "tags"]])
+    _, edges = osm_pbf_to_graph(spark, path)
+    return edges.select(
+        F.col("edge_id").cast("long").alias("edge_id"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("weight").cast("long").alias("weight"),
+        "fwd",
+    )
+
+
 @sql_query("tile_range_scan")
 def _q_tile_range(dialect: str) -> str:
     """S8 range-pruned tile scan: hilbert keys of the z9 fragment (87,204)'s
@@ -1816,6 +1874,7 @@ _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_dedup_pairs": _phash_dedup_spark,
     "embedding_dedup": _embedding_dedup_spark,
     "ann_ivf_exact": _ann_ivf_exact_spark,
+    "osm_pbf_way_expansion": _pbf_way_edges_spark,
 }
 
 
