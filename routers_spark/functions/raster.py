@@ -4,11 +4,10 @@ The container ships no image libraries (no PIL), so:
   - PNG is implemented for real (encode filter-0, decode all five filter
     types, 8-bit gray/RGB/RGBA, non-interlaced) — lossless, byte-exact
     round-trips;
-  - JPEG is a clearly-marked deterministic STAND-IN ("FJPG"): quantized
-    pixels + zlib, engineered to behave like a lossy codec (PSNR >= 40 dB)
-    so the Spark-side plumbing — binary columns, Arrow-batched decode,
-    pyramid cut, PSNR parity gates — is fully real and tested. Swap
-    `fake_jpeg_*` for a real codec when one is available.
+  - JPEG is REAL as of round 3 (functions/jpeg.py: baseline sequential
+    ITU-T T.81, 4:4:4, Annex-K tables, JFIF) — the PSNR parity gate binds
+    on an actual lossy codec. The former "FJPG" stand-in decoder is kept
+    so legacy payloads remain readable.
 
 Pyramid downsampling is a deterministic integer box filter
 ((a+b+c+d+2)//4), the resample pinned by the tile goldens (FIXTURES.md §5).
@@ -142,20 +141,21 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(data)
     if fmt == "jpeg":
-        if data[:4] == _FJPG_MAGIC:
+        if data[:4] == _FJPG_MAGIC:  # legacy stand-in payloads still decode
             return fake_jpeg_decode(data)
-        raise NotImplementedError(
-            "real JPEG decode requires an image library not present in this "
-            "environment; fixtures use the deterministic FJPG stand-in"
-        )
+        from routers_spark.functions.jpeg import jpeg_decode
+
+        return jpeg_decode(data)
     raise ValueError(f"unknown format {fmt!r}")
 
 
-def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+def encode_image(arr: np.ndarray, fmt: str, quality: int = 95) -> bytes:
     if fmt == "png":
         return png_encode(arr)
     if fmt == "jpeg":
-        return fake_jpeg_encode(arr)
+        from routers_spark.functions.jpeg import jpeg_encode
+
+        return jpeg_encode(arr, quality=quality)
     raise ValueError(f"unknown format {fmt!r}")
 
 

@@ -90,9 +90,15 @@ def test_fjpg_lossy_psnr_above_40():
 def test_decode_image_dispatch():
     img = RNG.integers(0, 256, (16, 16, 3), dtype=np.uint8)
     assert np.array_equal(decode_image(encode_image(img, "png"), "png"), img)
-    assert psnr(img, decode_image(encode_image(img, "jpeg"), "jpeg")) >= 40
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 real jpeg header", "jpeg")
+    # jpeg is the REAL baseline codec now: pure noise is the worst case for
+    # any lossy transform codec — assert lossy-but-faithful; the ≥40 dB
+    # parity gate binds on realistic content (tests/test_jpeg.py)
+    dec = decode_image(encode_image(img, "jpeg"), "jpeg")
+    assert dec.shape == img.shape
+    assert psnr(img, dec) >= 28
+    # legacy FJPG payloads still decode through the same dispatch
+    legacy = fake_jpeg_encode(img)
+    assert psnr(img, decode_image(legacy, "jpeg")) >= 40
 
 
 def test_box_downsample_exact():
