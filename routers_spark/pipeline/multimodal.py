@@ -3,9 +3,10 @@ with the heavy per-row work in Arrow-batched ``mapInPandas``.
 
 The engine treats image/audio/video as ``binary`` columns alongside typed
 metadata (the input_hint shape). What is REAL here: the Spark-side plumbing
-— schemas, batch iteration, partitioning, fan-out bounds — and the PNG
-image path (full codec in functions/raster.py). What is STUBBED (this
-container ships no media libraries): audio/video DECODE uses a
+— schemas, batch iteration, partitioning, fan-out bounds — and the image
+path (REAL codecs: PNG in functions/raster.py, baseline JPEG in
+functions/jpeg.py). What is STUBBED (this container ships no media
+libraries): audio/video DECODE uses a
 clearly-marked deterministic fake (`fake_media_decode`) that derives
 samples/frames from the payload bytes, so every pipeline shape is
 exercised end-to-end and swapping in a real decoder (pyav/ffmpeg, soundfile)
@@ -55,8 +56,8 @@ IMAGE_FEATURES_SCHEMA = (
 
 
 def image_features(images_df: DataFrame) -> DataFrame:
-    """Decode each image (REAL for PNG; deterministic stand-in for the
-    lossy format) and emit per-channel means + luminance std + an 8-bin
+    """Decode each image (REAL codecs for both PNG and baseline JPEG) and
+    emit per-channel means + luminance std + an 8-bin
     luminance histogram — one narrow Arrow pass, no shuffle. The histogram
     lands as scalar ``hist_0..hist_7`` columns (flat schemas keep the rows
     hashable/sortable for any downstream canonicalizer and columnar for
