@@ -306,6 +306,32 @@ def _enc_varint(v: int) -> bytes:
             return bytes(out)
 
 
+def encode_varints_sized(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized packed-varint ENCODE (the writer twin of
+    :func:`decode_packed_varints`): per-value byte counts, then one vector
+    pass per byte position filling 7-bit groups + continuation flags —
+    no per-value Python in the bulk path. Returns (buffer, bytes-per-value)
+    so callers can slice per-record spans out of one bulk encode."""
+    v = np.asarray(vals).astype(np.uint64)
+    if len(v) == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    nbytes = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 10):
+        nbytes[v >= (np.uint64(1) << np.uint64(7 * k))] = k + 1
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    starts = np.cumsum(nbytes) - nbytes
+    for k in range(int(nbytes.max())):
+        m = nbytes > k
+        byte = ((v[m] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[m] - 1 > k).astype(np.uint8) << 7
+        out[starts[m] + k] = byte | cont
+    return out.tobytes(), nbytes
+
+
+def encode_varints(vals: np.ndarray) -> bytes:
+    return encode_varints_sized(vals)[0]
+
+
 def _enc_tag(fno: int, payload: bytes) -> bytes:
     return _enc_varint((fno << 3) | 2) + _enc_varint(len(payload)) + payload
 
@@ -316,15 +342,19 @@ def _enc_int(fno: int, v: int) -> bytes:
 
 def _enc_packed_deltas(fno: int, values: np.ndarray) -> bytes:
     deltas = np.diff(np.concatenate([[0], values.astype(np.int64)]))
-    payload = b"".join(_enc_varint(int(z)) for z in zigzag_encode(deltas))
-    return _enc_tag(fno, payload)
+    return _enc_tag(fno, encode_varints(zigzag_encode(deltas)))
 
 
 def write_osm_pbf(path: str, nodes_pdf: pd.DataFrame, ways_pdf: pd.DataFrame,
-                  nodes_per_blob: int = 4000, granularity: int = 100) -> None:
+                  nodes_per_blob: int = 4000, ways_per_blob: int = 4000,
+                  granularity: int = 100) -> None:
     """Spec-compliant writer (fixtures only — no external data): dense
-    nodes split across blobs, one ways blob, zlib-compressed, granularity
-    100 (the standard 1e-7° resolution). ways_pdf: (way_id, refs, tags)."""
+    nodes AND ways split across blobs (bounded blob size per spec, and
+    each blob is an independent decode task — the parallelism grain),
+    zlib-compressed, granularity 100 (the standard 1e-7° resolution).
+    ways_pdf: (way_id, refs, tags). Ref encoding is ONE bulk vectorized
+    varint pass over every way's deltas, sliced per way by byte counts —
+    per-way numpy calls on ~4-element arrays cost more than the encode."""
     blobs: list[bytes] = []
 
     def finish_block(groups: list[bytes], strings: list[str]) -> bytes:
@@ -355,17 +385,34 @@ def write_osm_pbf(path: str, nodes_pdf: pd.DataFrame, ways_pdf: pd.DataFrame,
             sindex[s] = i
         return i
 
+    # one bulk delta+zigzag+varint pass over EVERY way's refs
+    refs_list = [np.asarray(r, dtype=np.int64) for r in ways_pdf["refs"]]
+    counts = np.array([len(r) for r in refs_list], dtype=np.int64)
+    if counts.sum():
+        flat = np.concatenate([r for r in refs_list if len(r)])
+        prev = np.concatenate([[0], flat[:-1]])
+        starts = np.cumsum(counts) - counts
+        prev[starts[counts > 0]] = 0  # delta chain resets per way
+        buf, nbytes = encode_varints_sized(zigzag_encode(flat - prev))
+        boff = np.concatenate([[0], np.cumsum(nbytes)])
+        ref_spans = np.concatenate([[0], np.cumsum(counts)])
+    else:
+        buf, boff, ref_spans = b"", np.zeros(1, np.int64), np.zeros(
+            len(counts) + 1, np.int64)
+
     ways = []
-    for r in ways_pdf.itertuples(index=False):
+    for wi, r in enumerate(ways_pdf.itertuples(index=False)):
         tags = r.tags or {}
         keys = b"".join(_enc_varint(intern(k)) for k in tags)
         vals = b"".join(_enc_varint(intern(v)) for v in tags.values())
         w = _enc_int(1, int(r.way_id))
         if tags:
             w += _enc_tag(2, keys) + _enc_tag(3, vals)
-        w += _enc_packed_deltas(8, np.asarray(r.refs, dtype=np.int64))
+        span = buf[boff[ref_spans[wi]]:boff[ref_spans[wi + 1]]]
+        w += _enc_tag(8, span)
         ways.append(_enc_tag(3, w))
-    blobs.append(finish_block(ways, strings))
+    for s in range(0, max(len(ways), 1), ways_per_blob):
+        blobs.append(finish_block(ways[s:s + ways_per_blob], strings))
 
     with open(path, "wb") as f:
         for i, block in enumerate(blobs):
