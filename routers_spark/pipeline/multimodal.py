@@ -138,19 +138,33 @@ def audio_windows(audio_df: DataFrame, window_ms: int = 250,
                   sample_rate: int = 16000,
                   max_windows: int = 64) -> DataFrame:
     """Audio feature extraction: fixed-length windows with RMS energy and
-    peak (bounded fan-out). Decode is the deterministic stub.
+    peak (bounded fan-out). RIFF payloads decode for REAL (PCM WAV,
+    functions/wav.py — the window length then follows the FILE's sample
+    rate); non-RIFF payloads fall back to the deterministic stub with
+    ``n_samples`` synthetic samples.
 
     audio_df: (audio_id string, bytes binary, n_samples int)."""
-    win = int(sample_rate * window_ms / 1000)
+    from routers_spark.functions.wav import wav_decode
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                n = min(int(r.n_samples), win * max_windows)
-                if n < win:
-                    continue
-                samples = fake_media_decode(bytes(r.bytes), n)[:, 0]
+                payload = bytes(r.bytes)
+                if payload[:4] == b"RIFF":
+                    full, rate = wav_decode(payload)
+                    full = full.mean(axis=1)  # downmix, deterministic
+                    win = int(rate * window_ms / 1000)
+                    n = min(len(full), win * max_windows)
+                    samples = full[:n]
+                    if n < win:
+                        continue
+                else:
+                    win = int(sample_rate * window_ms / 1000)
+                    n = min(int(r.n_samples), win * max_windows)
+                    if n < win:
+                        continue
+                    samples = fake_media_decode(payload, n)[:, 0]
                 k = n // win
                 w = samples[:k * win].reshape(k, win)
                 rms = np.sqrt((w.astype(np.float64) ** 2).mean(axis=1))

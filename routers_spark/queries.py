@@ -1615,18 +1615,37 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @nosql_query("audio_window_features")
 def _q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio windowing: fixed-length windows with RMS/peak,
-    bounded fan-out (deterministic stub decode; window math is real)."""
+    """Multimodal audio windowing over REAL PCM WAV payloads: each clip is
+    a synthesized sine+harmonic encoded through the RIFF writer and decoded
+    back by the pipeline (functions/wav.py) — fixed-length windows with
+    RMS/peak, bounded fan-out."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
 
+    from routers_spark.functions.wav import wav_encode
     from routers_spark.pipeline.multimodal import audio_windows
 
     n = min(200, max(50, _sf_scale(spark, sf_dir) // 50))
-    audio = spark.range(n).select(
-        F.concat(F.lit("aud"), F.col("id")).alias("audio_id"),
-        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("bytes"),
-        (F.col("id") % 64000 + 8000).cast("int").alias("n_samples"),
-    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n_samp = i % 64000 + 8000
+                t = np.arange(n_samp) / 16000.0
+                f0 = 110.0 + (i % 37) * 13.0
+                sig = (0.6 * np.sin(2 * np.pi * f0 * t)
+                       + 0.3 * np.sin(2 * np.pi * 2 * f0 * t))
+                rows.append((f"aud{i}", wav_encode(sig, 16000), n_samp))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes",
+                                              "n_samples"])
+
+    audio = spark.range(n).mapInPandas(
+        gen, schema="audio_id string, bytes binary, n_samples int")
     out = audio_windows(audio, window_ms=250, max_windows=8)
     return out.select("audio_id", "window_idx", "start_ms",
                       F.round("rms", 9).alias("rms"),

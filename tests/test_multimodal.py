@@ -160,3 +160,31 @@ def test_resize_images_upscale_pixel_replication(spark):
     assert got.shape == (4, 4, 3)
     want = np.repeat(np.repeat(arr, 2, axis=0), 2, axis=1)
     assert np.array_equal(got, want)
+
+
+def test_wav_roundtrip_and_real_audio_windows(spark):
+    """WAV codec round-trips PCM exactly (to 16-bit quantization) and
+    audio_windows decodes REAL RIFF payloads: a pure sine's window RMS must
+    equal amplitude/sqrt(2) and its peak the amplitude."""
+    from routers_spark.functions.wav import wav_decode, wav_encode
+
+    t = np.arange(16000) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    data = wav_encode(sig, 16000)
+    back, rate = wav_decode(data)
+    assert rate == 16000 and back.shape == (16000, 1)
+    np.testing.assert_allclose(back[:, 0], sig, atol=1.0 / 32768)
+    # stereo + chunk walking
+    st = wav_encode(np.stack([sig, -sig], axis=1), 8000)
+    b2, r2 = wav_decode(st)
+    assert r2 == 8000 and b2.shape == (16000, 2)
+
+    from routers_spark.pipeline.multimodal import audio_windows
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"audio_id": ["a"], "bytes": [data],
+                      "n_samples": [0]}))  # n_samples ignored for RIFF
+    out = audio_windows(df, window_ms=250, max_windows=4).toPandas()
+    assert len(out) == 4
+    np.testing.assert_allclose(out["rms"], 0.5 / np.sqrt(2), atol=1e-3)
+    np.testing.assert_allclose(out["peak"], 0.5, atol=1e-3)
