@@ -2,15 +2,12 @@
 with the heavy per-row work in Arrow-batched ``mapInPandas``.
 
 The engine treats image/audio/video as ``binary`` columns alongside typed
-metadata (the input_hint shape). What is REAL here: the Spark-side plumbing
-— schemas, batch iteration, partitioning, fan-out bounds — and the image
-path (REAL codecs: PNG in functions/raster.py, baseline JPEG in
-functions/jpeg.py). What is STUBBED (this container ships no media
-libraries): audio/video DECODE uses a
-clearly-marked deterministic fake (`fake_media_decode`) that derives
-samples/frames from the payload bytes, so every pipeline shape is
-exercised end-to-end and swapping in a real decoder (pyav/ffmpeg, soundfile)
-only replaces that one function.
+metadata (the input_hint shape). As of round 3 EVERY format has a REAL
+from-scratch public-spec codec: PNG (functions/raster.py), baseline JPEG
+(functions/jpeg.py), PCM WAV audio (functions/wav.py), Motion-JPEG AVI
+video (functions/avi.py). The deterministic `fake_media_decode` stub
+remains only as the fallback for non-RIFF payloads (and keeps the
+plumbing testable without any container synthesis).
 
 Operators:
   - ``image_features``: decode → per-channel mean/std + 8-bin luminance
@@ -100,29 +97,45 @@ def sample_frames(videos_df: DataFrame, every_n: int = 10,
                   frame_w: int = 16, frame_h: int = 16) -> DataFrame:
     """Video frame sampling: every Nth frame, fan-out bounded by
     ``max_frames`` rows per video (the explode stays bounded no matter the
-    clip length — the scale guard). Decode is the deterministic stub; frame
-    payloads re-encode as real PNG.
+    clip length — the scale guard). RIFF/AVI payloads decode for REAL
+    (Motion-JPEG, functions/avi.py — and only the SAMPLED frames are
+    decoded: MJPEG chunks are independent, which is the whole point of
+    the format); other payloads fall back to the deterministic stub with
+    ``n_frames`` synthetic frames. Frame payloads re-encode as real PNG.
 
     videos_df: (video_id string, bytes binary, n_frames int)."""
+    from routers_spark.functions.avi import avi_decode_frames, avi_scan
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("video_id", "frame_idx", "t_ms", "w", "h",
                                    "frame_png")}
             for r in pdf.itertuples(index=False):
-                idxs = list(range(0, int(r.n_frames), every_n))[:max_frames]
-                if not idxs:
-                    continue
-                # STUB decode: one deterministic "frame" per sampled index
-                flat = fake_media_decode(bytes(r.bytes),
-                                         len(idxs) * frame_w * frame_h, 3)
-                frames = ((flat.reshape(len(idxs), frame_h, frame_w, 3)
-                           * 0.5 + 0.5) * 255).astype(np.uint8)
+                payload = bytes(r.bytes)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    n_total = len(avi_scan(payload)[0])
+                    idxs = list(range(0, n_total, every_n))[:max_frames]
+                    if not idxs:
+                        continue
+                    frames_l, vfps, _ = avi_decode_frames(payload, idxs)
+                    frames = np.stack(frames_l)
+                    use_fps = vfps
+                else:
+                    idxs = list(range(0, int(r.n_frames), every_n))[:max_frames]
+                    if not idxs:
+                        continue
+                    # STUB decode: one deterministic "frame" per index
+                    flat = fake_media_decode(payload,
+                                             len(idxs) * frame_w * frame_h, 3)
+                    frames = ((flat.reshape(len(idxs), frame_h, frame_w, 3)
+                               * 0.5 + 0.5) * 255).astype(np.uint8)
+                    use_fps = fps
                 for k, fi in enumerate(idxs):
                     out["video_id"].append(r.video_id)
                     out["frame_idx"].append(fi)
-                    out["t_ms"].append(int(fi / fps * 1000))
-                    out["w"].append(frame_w)
-                    out["h"].append(frame_h)
+                    out["t_ms"].append(int(fi / use_fps * 1000))
+                    out["w"].append(frames.shape[2])
+                    out["h"].append(frames.shape[1])
                     out["frame_png"].append(png_encode(frames[k]))
             yield pd.DataFrame(out)
 

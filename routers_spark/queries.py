@@ -1593,21 +1593,42 @@ def _phash_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @nosql_query("video_frame_sample")
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame sampling: every-Nth-frame rows with bounded fan-out
-    (≤ max_frames rows per video regardless of clip length). Decode is the
-    clearly-marked deterministic stub (no media libs in this container);
-    frame payloads re-encode as real PNG — shape contract tested in
-    pytest."""
+    """Multimodal frame sampling over REAL video bytes: each clip is a
+    Motion-JPEG AVI (functions/avi.py over the real JPEG codec) with
+    deterministic gradient frames; the pipeline samples every Nth frame,
+    decoding ONLY the sampled chunks, bounded by max_frames per clip."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
 
+    from routers_spark.functions.avi import avi_encode
     from routers_spark.pipeline.multimodal import sample_frames
 
-    n = min(200, max(50, _sf_scale(spark, sf_dir) // 50))
-    videos = spark.range(n).select(
-        F.concat(F.lit("vid"), F.col("id")).alias("video_id"),
-        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("bytes"),
-        (F.col("id") % 200 + 30).cast("int").alias("n_frames"),
-    )
+    n = min(100, max(30, _sf_scale(spark, sf_dir) // 100))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:16, 0:16]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n_frames = i % 40 + 12
+                frames = [
+                    np.stack([(xx * 16 + k * 7) % 256,
+                              (yy * 16 + i) % 256,
+                              np.full((16, 16), (k * 11 + i) % 256)],
+                             axis=-1).astype(np.uint8)
+                    for k in range(n_frames)
+                ]
+                rows.append((f"vid{i}", avi_encode(frames, fps=30.0),
+                             n_frames))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes",
+                                              "n_frames"])
+
+    videos = spark.range(n).mapInPandas(
+        gen, schema="video_id string, bytes binary, n_frames int")
     out = sample_frames(videos, every_n=10, max_frames=8)
     return out.select("video_id", "frame_idx", "t_ms", "w", "h",
                       F.md5("frame_png").alias("frame_md5"))

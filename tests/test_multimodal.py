@@ -188,3 +188,43 @@ def test_wav_roundtrip_and_real_audio_windows(spark):
     assert len(out) == 4
     np.testing.assert_allclose(out["rms"], 0.5 / np.sqrt(2), atol=1e-3)
     np.testing.assert_allclose(out["peak"], 0.5, atol=1e-3)
+
+
+def test_avi_roundtrip_and_real_frame_sampling(spark):
+    """MJPG AVI codec: container round-trips frame count/fps/shape, the
+    sampled decode touches only the selected chunks, and sample_frames
+    extracts REAL video frames (PSNR vs the source ≥ 40 dB on smooth
+    content — the lossy-parity gate through the video path)."""
+    from routers_spark.functions.avi import (
+        avi_decode_frames,
+        avi_encode,
+        avi_scan,
+    )
+    from routers_spark.functions.raster import psnr
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    frames = [
+        np.stack([(xx * 8 + k) % 256, (yy * 8) % 256,
+                  np.full((24, 32), 40 + 3 * k)], axis=-1).astype(np.uint8)
+        for k in range(25)
+    ]
+    data = avi_encode(frames, fps=25.0, quality=90)
+    spans, fps, w, h = avi_scan(data)
+    assert len(spans) == 25 and fps == 25.0 and (w, h) == (32, 24)
+    got, fps2, total = avi_decode_frames(data, [0, 10, 24])
+    assert total == 25 and fps2 == 25.0
+    for fi, g in zip([0, 10, 24], got):
+        assert psnr(frames[fi], g) >= 40.0
+
+    from routers_spark.pipeline.multimodal import sample_frames
+    from routers_spark.functions.raster import png_decode
+
+    vids = spark.createDataFrame(pd.DataFrame({
+        "video_id": ["real"], "bytes": [data], "n_frames": [0]}))
+    out = sample_frames(vids, every_n=10, max_frames=4).toPandas() \
+        .sort_values("frame_idx").reset_index(drop=True)
+    assert list(out["frame_idx"]) == [0, 10, 20]
+    assert list(out["t_ms"]) == [0, 400, 800]  # fps from the FILE (25)
+    assert (out["w"] == 32).all() and (out["h"] == 24).all()
+    dec = png_decode(bytes(out["frame_png"][1]))
+    assert psnr(frames[10], dec) >= 40.0
