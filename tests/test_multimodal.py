@@ -1,5 +1,6 @@
 """Multimodal operators: real Spark plumbing (schemas, Arrow batches,
-bounded fan-out), real PNG decode path, clearly-stubbed media decode."""
+bounded fan-out) and REAL codecs end-to-end (PNG/JPEG/WAV/MJPG-AVI);
+the deterministic stub remains only as the non-RIFF fallback."""
 
 from __future__ import annotations
 
