@@ -37,6 +37,7 @@ HEADLINE_SQL = [
     "simhash_dedup_pairs",
     "embedding_topk_cosine",
     "zone_assign_cells",
+    "zone_bbox_lookup",
     "access_eval",
     "way_edge_expansion",
     "osm_pbf_way_expansion",

@@ -11,6 +11,12 @@ Each connectrpc service method becomes a plain function over DataFrames
   - ``route_points``     ≙ OptimiseService.Route — snap endpoints to nodes,
     Dijkstra between them (optimise.rs:19-55, route.rs:21-34; the
     reference's A* runs a zero heuristic, graph.rs:364-385)
+  - timezone surface     ≙ TimezoneService (timezone/v1/service.proto:7-24):
+    point lookups via zones.pip/zones.cells; bbox + polygon lookups (and
+    their batch forms — a DataFrame IS the batch form) via
+    zones.boxes.zones_for_boxes / zones_for_polygons, offering both the
+    basic backend's contains semantics and the rtree/s2cell center
+    resolution
 
 The graph broadcasts once (the north-rule shape); points stream through
 Arrow batches with no shuffle.

@@ -348,6 +348,44 @@ FROM (SELECT /*+ REPARTITION(32) */ event_id FROM events)
 """
 
 
+@sql_query("zone_bbox_lookup")
+def _q_zone_bbox(dialect: str) -> str:
+    """TimezoneService.GetFromBoundingBox, center resolution (the rtree /
+    s2cell backends resolve a rect by its CENTER — rtree.rs:30-47,
+    s2cell.rs:38-58): asymmetric boxes derived from the event points, the
+    Spark side runs the ENGINE operator (zones/boxes.py zones_for_boxes)
+    and this oracle restates it as first-match ray-cast of the center."""
+    # the EXACT same IEEE expression the engine evaluates ((min+max)/2 over
+    # the derived bounds) — algebraically lon+0.5e-3 but not bit-identical
+    # to it, and the ray cast is bit-sensitive at ring boundaries
+    cx = f"((({EVENT_LON} - 1.0e-3) + ({EVENT_LON} + 2.0e-3)) / 2.0e0)"
+    cy = f"((({EVENT_LAT} - 0.7e-3) + ({EVENT_LAT} + 2.1e-3)) / 2.0e0)"
+    in1 = _ray_cast_sql(_PIP_RING, cx, cy)
+    in2 = _ray_cast_sql(_PIP_RING2, cx, cy)
+    return f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CASE WHEN {in1} THEN 'hex' WHEN {in2} THEN 'box' ELSE NULL END AS zone_id
+FROM (SELECT /*+ REPARTITION(32) */ event_id FROM events)
+"""
+
+
+def _zone_bbox_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from routers_spark.zones.boxes import zones_for_boxes
+
+    register_views(spark, sf_dir)
+    boxes = spark.sql(f"""
+        SELECT /*+ REPARTITION(32) */ CAST(event_id AS BIGINT) AS event_id,
+               ({EVENT_LON} - 1.0e-3) AS min_lon,
+               ({EVENT_LAT} - 0.7e-3) AS min_lat,
+               ({EVENT_LON} + 2.0e-3) AS max_lon,
+               ({EVENT_LAT} + 2.1e-3) AS max_lat
+        FROM events""")
+    zones = [{"zone_id": "hex", "ring": _PIP_RING},
+             {"zone_id": "box", "ring": _PIP_RING2}]
+    out = zones_for_boxes(boxes, zones, method="center", keep=["event_id"])
+    return out.select("event_id", "zone_id")
+
+
 @sql_query("zone_assign_cells")
 def _q_zone_cells(dialect: str) -> str:
     """Cell-covering zone lookup (the S2-cell tz backend analog,
@@ -1915,6 +1953,7 @@ _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup": _embedding_dedup_spark,
     "ann_ivf_exact": _ann_ivf_exact_spark,
     "osm_pbf_way_expansion": _pbf_way_edges_spark,
+    "zone_bbox_lookup": _zone_bbox_spark,
 }
 
 
