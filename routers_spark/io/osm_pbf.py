@@ -138,13 +138,35 @@ def scan_blobs(path: str) -> pd.DataFrame:
 
 
 def _blob_payload(raw: bytes) -> bytes:
-    """Blob message → uncompressed block bytes (raw or zlib per spec)."""
+    """Blob message → uncompressed block bytes. Handles every compression
+    the spec's fileformat.proto names: raw (1), zlib (3), lzma (4, stdlib),
+    and — behind optional imports, the libs aren't baked into every
+    deployment — lz4 frame (6) and zstd (7)."""
     for fno, _, v in _fields(raw):
         if fno == 1:
             return bytes(v)
         if fno == 3:
             return zlib.decompress(bytes(v))
-    raise ValueError("blob carries no raw/zlib payload")
+        if fno == 4:
+            import lzma
+            return lzma.decompress(bytes(v))
+        if fno == 6:
+            try:
+                import lz4.frame
+            except ImportError as e:
+                raise ValueError(
+                    "blob is lz4-compressed; install the 'lz4' package "
+                    "to read it") from e
+            return lz4.frame.decompress(bytes(v))
+        if fno == 7:
+            try:
+                import zstandard
+            except ImportError as e:
+                raise ValueError(
+                    "blob is zstd-compressed; install the 'zstandard' "
+                    "package to read it") from e
+            return zstandard.ZstdDecompressor().decompress(bytes(v))
+    raise ValueError("blob carries no payload in a supported encoding")
 
 
 # -------------------------------------------------------- block decode
@@ -414,11 +436,19 @@ def write_osm_pbf(path: str, nodes_pdf: pd.DataFrame, ways_pdf: pd.DataFrame,
     for s in range(0, max(len(ways), 1), ways_per_blob):
         blobs.append(finish_block(ways[s:s + ways_per_blob], strings))
 
+    # Leading OSMHeader blob (required by the spec; standard tools reject
+    # files without required_features). HeaderBlock: repeated string
+    # required_features = 4; our reader's scan_blobs filters on blob_type
+    # so it skips this (and any foreign OSMHeader) transparently.
+    header_block = (_enc_tag(4, b"OsmSchema-V0.6")
+                    + _enc_tag(4, b"DenseNodes"))
+
     with open(path, "wb") as f:
-        for i, block in enumerate(blobs):
+        for btype, block in ([(b"OSMHeader", header_block)]
+                             + [(b"OSMData", b) for b in blobs]):
             comp = zlib.compress(block)
             blob = _enc_int(2, len(block)) + _enc_tag(3, comp)
-            hdr = _enc_tag(1, b"OSMData") + _enc_int(3, len(blob))
+            hdr = _enc_tag(1, btype) + _enc_int(3, len(blob))
             f.write(struct.pack(">I", len(hdr)))
             f.write(hdr)
             f.write(blob)

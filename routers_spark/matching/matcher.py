@@ -458,7 +458,8 @@ def _status_row(trip_id: str, status: str, output: str) -> pd.DataFrame:
 
 def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
                 output: str = "discretized", candidate_path: str = "broadcast",
-                salt: int = 0, solve_salt: int = 1):
+                salt: int = 0, solve_salt: int = 1,
+                broadcast_limit_rows: int = 5_000_000):
     """M17 facade: match every trip in points_df(trip_id, seq, lon, lat)
     against the road graph given as nodes(node_id, lon, lat) /
     edges(edge_id, src, dst, weight) DataFrames.
@@ -487,6 +488,16 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
         from routers_spark.graph.packed import build_packed_graph, hydrate
 
         spark = points_df.sparkSession
+        # Guard the driver collect: a graph past the broadcast envelope must
+        # go through the distributed celljoin path, not OOM the driver. The
+        # probe is an early-terminating limit+count, not a full scan.
+        if broadcast_limit_rows is not None:
+            probe = edges_df.limit(broadcast_limit_rows + 1).count()
+            if probe > broadcast_limit_rows:
+                raise ValueError(
+                    f"match_trips: edges table exceeds broadcast_limit_rows="
+                    f"{broadcast_limit_rows}; use candidate_path='celljoin' "
+                    f"(the no-broadcast scale path) or raise the limit.")
         g = build_packed_graph(nodes_df.toPandas(), edges_df.toPandas())
         bc = spark.sparkContext.broadcast(g.to_broadcastable())
         bc_key = uuid.uuid4().hex

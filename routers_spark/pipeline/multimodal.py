@@ -164,7 +164,7 @@ def audio_windows(audio_df: DataFrame, window_ms: int = 250,
             rows = []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.bytes)
-                if payload[:4] == b"RIFF":
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                     full, rate = wav_decode(payload)
                     full = full.mean(axis=1)  # downmix, deterministic
                     win = int(rate * window_ms / 1000)

@@ -134,7 +134,11 @@ def edges_with_rows(edges_df: DataFrame,
         b = np.searchsorted(bounds, eid.values.astype(np.float64), "left")
         return pd.Series(b.astype(np.int32))
 
-    bucketed = base.withColumn("bucket", bucket_of("edge_id"))
+    # Persist so the counts job and the enumeration job observe the SAME
+    # rows even when edges_df is upstream-nondeterministic (sample,
+    # round-robin repartition): both jobs read the materialized partitions
+    # instead of re-executing the upstream plan.
+    bucketed = base.withColumn("bucket", bucket_of("edge_id")).persist()
 
     counts = {int(r["bucket"]): int(r["cnt"])
               for r in bucketed.groupBy("bucket").agg(
@@ -164,8 +168,16 @@ def edges_with_rows(edges_df: DataFrame,
 
     local = part.mapInPandas(enumerate_local, schema=out_schema)
     return (
-        local.join(F.broadcast(offsets_df), "bucket")
-        .withColumn("edge_row", F.col("offset") + F.col("local_row"))
+        local.join(F.broadcast(offsets_df), "bucket", "left")
+        # Belt over the persist's suspenders: a bucket that appeared only in
+        # the enumeration job (divergent recompute) fails loudly instead of
+        # being silently dropped by an inner join. The guard lives INSIDE
+        # the selected edge_row expression so column pruning can't drop it.
+        .withColumn("edge_row", F.when(
+            F.col("offset").isNotNull(),
+            F.col("offset") + F.col("local_row")
+        ).otherwise(F.raise_error(
+            F.lit("edges_with_rows: bucket missing from counts pass"))))
         .select(*cols, "edge_row")
     )
 

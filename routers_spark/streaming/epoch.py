@@ -74,12 +74,23 @@ def task_graph(registry: GraphRegistry):
     from pyspark import TaskContext
 
     tc = TaskContext.get()
-    tkey = (registry.path, tc.taskAttemptId() if tc is not None else -1)
-    epoch = _TASK_EPOCH.get(tkey)
-    if epoch is None:
+    if tc is None:
+        # Driver-side / non-task context: no attempt id to memoise under —
+        # re-read the pointer every call so a later publish() is observed.
         epoch = registry.current_epoch()
-        _TASK_EPOCH.clear()  # entries from finished tasks are dead
-        _TASK_EPOCH[tkey] = epoch
+    else:
+        tid = tc.taskAttemptId()
+        tkey = (registry.path, tid)
+        epoch = _TASK_EPOCH.get(tkey)
+        if epoch is None:
+            epoch = registry.current_epoch()
+            # Evict only entries from OTHER task attempts (they are finished
+            # — one python worker runs one task at a time); entries for this
+            # attempt from other registries must survive so every registry
+            # resolves its epoch exactly once per task.
+            for dead in [k for k in _TASK_EPOCH if k[1] != tid]:
+                _TASK_EPOCH.pop(dead)
+            _TASK_EPOCH[tkey] = epoch
     gkey = (registry.path, epoch)
     g = _EPOCH_GRAPHS.get(gkey)
     if g is None:

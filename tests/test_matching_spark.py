@@ -90,3 +90,15 @@ def test_match_trips_drop_unanchored(spark):
     ).toPandas()
     assert set(out.status) == {"matched"}
     assert len(out) == 2
+
+
+def test_broadcast_guard_rejects_big_graph(spark, grid):
+    """A graph past the broadcast envelope must refuse the driver collect
+    and point at the celljoin scale path instead of OOMing the driver."""
+    points_df, nodes_df, edges_df, _ = grid
+    with pytest.raises(ValueError, match="celljoin"):
+        match_trips(points_df, nodes_df, edges_df, broadcast_limit_rows=10)
+    # at/below the limit the path still works
+    out = match_trips(points_df, nodes_df, edges_df,
+                      broadcast_limit_rows=10_000_000).toPandas()
+    assert (out.status == "matched").any()

@@ -69,8 +69,11 @@ def pbf_fixture(tmp_path_factory):
 def test_blob_scan_framing(pbf_fixture):
     path, nodes, _ = pbf_fixture
     desc = scan_blobs(path)
-    assert (desc["blob_type"] == "OSMData").all()
-    assert len(desc) == int(np.ceil(len(nodes) / 20)) + 1  # node blobs + ways
+    # leading spec-required OSMHeader blob, then the data blobs
+    assert desc["blob_type"].iloc[0] == "OSMHeader"
+    assert (desc["blob_type"].iloc[1:] == "OSMData").all()
+    # header + node blobs + ways
+    assert len(desc) == int(np.ceil(len(nodes) / 20)) + 2
     assert (desc["size"] > 0).all()
     assert desc["offset"].is_monotonic_increasing
 
@@ -138,3 +141,14 @@ def test_pbf_graph_matches_trips(spark, pbf_fixture):
     assert (out["status"] == "matched").all()
     valid = set(edges_pdf["edge_id"])
     assert set(out["edge_id"]).issubset(valid)
+
+
+def test_blob_payload_lzma_and_unknown():
+    """Spec compression coverage: lzma (field 4) decodes via stdlib; an
+    lz4/zstd blob without the optional lib raises a clear error."""
+    import lzma
+    from routers_spark.io.osm_pbf import _blob_payload, _enc_int, _enc_tag
+
+    block = b"hello pbf block"
+    raw = _enc_int(2, len(block)) + _enc_tag(4, lzma.compress(block))
+    assert _blob_payload(raw) == block
