@@ -130,19 +130,67 @@ def build_lsh_index(corpus_df: DataFrame, dim: int, n_planes: int = 8,
         gen, schema=f"{id_col} long, t int, bucket long")
 
 
+def lsh_candidate_pairs(index: DataFrame, id_col: str = "vec_id",
+                        bucket_cap: int | None = 10_000) -> DataFrame:
+    """(id_a, id_b) candidate pairs from an (id, t, bucket) LSH index via
+    bucketed SELF-join — never all-pairs.
+
+    ``bucket_cap`` bounds the quadratic cliff a degenerate bucket opens
+    (all-zero embeddings are common in real corpora: one bucket holding k
+    rows self-joins into k²/2 pairs). Buckets above the cap are SALT-SPLIT:
+    members spread deterministically (splitmix of id) over
+    ceil(cnt/cap) sub-buckets and pairs form only within a sub-bucket, so
+    per-bucket pair work is ≤ nsplit·cap²/2 ≈ cnt·cap/2 — linear in
+    occupancy instead of quadratic. Nothing is dropped outright; forgone
+    cross-salt pairs trade bounded recall inside pathological buckets for
+    a bounded shuffle — and because each table salts independently, a pair
+    split apart in one table still co-buckets in another with probability
+    1/nsplit per remaining table. The hot-bucket list is ≤ rows/cap
+    entries — broadcast-sized by construction."""
+    if bucket_cap is not None:
+        counts = index.groupBy("t", "bucket").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        hot = counts.filter(F.col("cnt") > bucket_cap)
+        index = (
+            index.join(F.broadcast(hot), ["t", "bucket"], "left")
+            .withColumn("nsplit", F.when(
+                F.col("cnt").isNull(), F.lit(1)
+            ).otherwise(F.ceil(F.col("cnt") / bucket_cap).cast("int")))
+            # salt varies WITH the table: a degenerate bucket has identical
+            # membership in every table, so an id-only salt would forgo the
+            # same pairs n_tables times — per-table splits are independent,
+            # and each surviving table re-offers the pair
+            .withColumn("salt", F.pmod(F.xxhash64(F.col(id_col), F.col("t")),
+                                       F.col("nsplit")).cast("int"))
+            .select(id_col, "t", "bucket", "salt")
+        )
+    else:
+        index = index.select(id_col, "t", "bucket",
+                             F.lit(0).alias("salt"))
+    a = index.alias("a")
+    b = index.alias("b")
+    return (
+        a.join(b, (F.col("a.t") == F.col("b.t"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.salt") == F.col("b.salt"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_dedup(corpus_df: DataFrame, threshold: float = 0.95,
                     n_planes: int = 8, n_tables: int = 4,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    bucket_cap: int | None = 10_000) -> DataFrame:
     """Embedding-cosine near-duplicate detection: the (table, bucket) LSH
     index SELF-joins (vectors sharing any bucket become candidate pairs —
-    never all-pairs), an Arrow pass verifies exact cosine ≥ threshold, and
-    connected components assign canonical ids (chains collapse, same as
-    minhash_dedup). Output: (doc_id, canonical_id) for every corpus row.
-
-    Skew note: a degenerate bucket (e.g. all-zero vectors) self-joins
-    quadratically — at scale, salt or drop buckets above an occupancy cap
-    before the join (the same knob as the candidate cell join)."""
+    never all-pairs, hot buckets salt-split under ``bucket_cap``), an
+    Arrow pass verifies exact cosine ≥ threshold, and connected components
+    assign canonical ids (chains collapse, same as minhash_dedup).
+    Output: (doc_id, canonical_id) for every corpus row."""
     from routers_spark.pipeline.dedup import connected_canonical_ids
 
     head = corpus_df.select(vec_col).first()
@@ -151,18 +199,11 @@ def embedding_dedup(corpus_df: DataFrame, threshold: float = 0.95,
             "canonical_id", F.col("doc_id"))
     dim = len(head[0])
     index = build_lsh_index(corpus_df, dim, n_planes, n_tables, id_col, vec_col)
-    a = index.alias("a")
-    b = index.alias("b")
     # id-only self-join; vectors re-join AFTER the dedup'd candidate set is
     # known (the heavy column never rides the n_tables× index rows)
     vecs = corpus_df.select(id_col, vec_col)
     cand = (
-        a.join(b, (F.col("a.t") == F.col("b.t"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        lsh_candidate_pairs(index, id_col, bucket_cap)
         .join(vecs.withColumnsRenamed({id_col: "id_a", vec_col: "vec_a"}),
               "id_a")
         .join(vecs.withColumnsRenamed({id_col: "id_b", vec_col: "vec_b"}),

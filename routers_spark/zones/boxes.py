@@ -29,25 +29,29 @@ from pyspark.sql import DataFrame
 from routers_spark.functions.geo import point_in_polygon_np
 
 
-def _edges_hit_rect(ex0, ey0, ex1, ey1, bx0, by0, bx1, by1) -> bool:
-    """True if ANY polygon edge intersects the axis-aligned rect.
-    Vectorized separating-axis test over the edge arrays: an edge and the
-    rect are disjoint iff the rect lies strictly on one side of x, y, or
-    the edge's supporting line (restricted to the edge's span)."""
-    # axis-aligned rejection: edge bbox vs rect
-    overlap = ~((np.maximum(ex0, ex1) < bx0) | (np.minimum(ex0, ex1) > bx1)
-                | (np.maximum(ey0, ey1) < by0) | (np.minimum(ey0, ey1) > by1))
-    if not overlap.any():
-        return False
-    dx = ex1 - ex0
-    dy = ey1 - ey0
+def _edges_hit_rects(ex0, ey0, ex1, ey1, bx0, by0, bx1, by1) -> np.ndarray:
+    """Per-RECT bool: does ANY polygon edge intersect the axis-aligned
+    rect? One broadcast separating-axis pass over the (n_rects, n_edges)
+    grid — an edge and a rect are disjoint iff the rect lies strictly on
+    one side of x, y, or the edge's supporting line (restricted to the
+    edge's span). Rect arrays are (n_rects,), edge arrays (n_edges,)."""
+    bx0 = bx0[:, None]
+    by0 = by0[:, None]
+    bx1 = bx1[:, None]
+    by1 = by1[:, None]
+    # axis-aligned rejection: edge bbox vs rect, (n_rects, n_edges)
+    overlap = ~((np.maximum(ex0, ex1)[None, :] < bx0)
+                | (np.minimum(ex0, ex1)[None, :] > bx1)
+                | (np.maximum(ey0, ey1)[None, :] < by0)
+                | (np.minimum(ey0, ey1)[None, :] > by1))
+    dx = (ex1 - ex0)[None, :]
+    dy = (ey1 - ey0)[None, :]
     # signed area of each rect corner vs the edge line
-    sides = []
-    for cx, cy in ((bx0, by0), (bx0, by1), (bx1, by0), (bx1, by1)):
-        sides.append(dx * (cy - ey0) - dy * (cx - ex0))
-    s = np.stack(sides)                      # (4, n_edges)
+    sides = [dx * (cy - ey0[None, :]) - dy * (cx - ex0[None, :])
+             for cx, cy in ((bx0, by0), (bx0, by1), (bx1, by0), (bx1, by1))]
+    s = np.stack(sides)                      # (4, n_rects, n_edges)
     separated = (s > 0).all(axis=0) | (s < 0).all(axis=0)
-    return bool((overlap & ~separated).any())
+    return (overlap & ~separated).any(axis=1)
 
 
 def _prep_zones(zones: list[dict]):
@@ -87,42 +91,68 @@ def zones_for_boxes(boxes_df: DataFrame, zones: list[dict],
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            n = len(pdf)
             x0 = pdf["min_lon"].values.astype(np.float64)
             y0 = pdf["min_lat"].values.astype(np.float64)
             x1 = pdf["max_lon"].values.astype(np.float64)
             y1 = pdf["max_lat"].values.astype(np.float64)
-            matches: list[list[str]] = [[] for _ in range(len(pdf))]
+            # (request_idx, zone_order) match pairs, collected per zone —
+            # every step below is a whole-array numpy op, no per-row Python
+            pair_req: list[np.ndarray] = []
+            pair_zi: list[np.ndarray] = []
             if method == "center":
                 cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
-                unassigned = np.ones(len(pdf), dtype=bool)
-                for zid, rx, ry, *_rest in zs:
+                unassigned = np.ones(n, dtype=bool)
+                for zi, (zid, rx, ry, *_rest) in enumerate(zs):
                     cand = np.flatnonzero(unassigned)
                     if not len(cand):
                         break
                     inside = point_in_polygon_np(cx[cand], cy[cand], rx, ry)
-                    for i in cand[inside]:
-                        matches[i].append(zid)
-                        unassigned[i] = False
+                    hit = cand[inside]
+                    pair_req.append(hit)
+                    pair_zi.append(np.full(len(hit), zi))
+                    unassigned[hit] = False
             else:
-                for zid, rx, ry, ex0, ey0, ex1, ey1, zx0, zy0, zx1, zy1 in zs:
+                for zi, (zid, rx, ry, ex0, ey0, ex1, ey1,
+                         zx0, zy0, zx1, zy1) in enumerate(zs):
                     # zone bbox must cover the rect at all
                     cand = np.flatnonzero((x0 >= zx0) & (x1 <= zx1)
                                           & (y0 >= zy0) & (y1 <= zy1))
-                    for i in cand:
-                        corners_in = point_in_polygon_np(
-                            np.array([x0[i], x0[i], x1[i], x1[i]]),
-                            np.array([y0[i], y1[i], y0[i], y1[i]]), rx, ry)
-                        if corners_in.all() and not _edges_hit_rect(
-                                ex0, ey0, ex1, ey1,
-                                x0[i], y0[i], x1[i], y1[i]):
-                            matches[i].append(zid)
-            rows = []
+                    if not len(cand):
+                        continue
+                    # ONE stacked ray cast over all candidates' 4 corners
+                    corners_in = point_in_polygon_np(
+                        np.concatenate([x0[cand], x0[cand],
+                                        x1[cand], x1[cand]]),
+                        np.concatenate([y0[cand], y1[cand],
+                                        y0[cand], y1[cand]]),
+                        rx, ry).reshape(4, len(cand)).all(axis=0)
+                    sub = cand[corners_in]
+                    if not len(sub):
+                        continue
+                    hit = sub[~_edges_hit_rects(ex0, ey0, ex1, ey1,
+                                                x0[sub], y0[sub],
+                                                x1[sub], y1[sub])]
+                    pair_req.append(hit)
+                    pair_zi.append(np.full(len(hit), zi))
+            req = (np.concatenate(pair_req) if pair_req
+                   else np.empty(0, dtype=np.int64))
+            ziv = (np.concatenate(pair_zi) if pair_zi
+                   else np.empty(0, dtype=np.int64))
+            # requests matching nothing emit one NULL-zone row
+            nomatch = np.flatnonzero(
+                np.bincount(req, minlength=n) == 0)
+            out_req = np.concatenate([req, nomatch])
+            zone_ids = np.array([z[0] for z in zs] + [None], dtype=object)
+            out_zid = zone_ids[np.concatenate(
+                [ziv, np.full(len(nomatch), len(zs))]).astype(np.int64)]
+            # original ordering: by request, then zone declaration order
+            order = np.lexsort((np.concatenate(
+                [ziv, np.full(len(nomatch), len(zs))]), out_req))
             base = pdf[[f.name for f in out_fields]]
-            for i in range(len(pdf)):
-                for zid in (matches[i] or [None]):
-                    rows.append((*base.iloc[i], zid))
-            yield pd.DataFrame(rows, columns=[f.name for f in out_fields]
-                               + ["zone_id"])
+            out = base.iloc[out_req[order]].reset_index(drop=True)
+            out["zone_id"] = out_zid[order]
+            yield out
 
     return boxes_df.mapInPandas(run, schema=schema)
 

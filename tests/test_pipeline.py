@@ -348,3 +348,50 @@ def test_ann_indexes_are_id_only(spark):
     out = lsh_topk_cosine(df, corpus[:3], np.arange(3), k=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_bucket_cap_bounds_hot_bucket_pairs(spark):
+    """The 100 TB cliff guard: a planted degenerate bucket (identical
+    vectors → one bucket in EVERY table) must yield a bounded candidate
+    count under the occupancy cap, and the cap must not change the output
+    on a well-behaved corpus."""
+    import numpy as np
+
+    from routers_spark.pipeline.similarity import (
+        build_lsh_index,
+        embedding_dedup,
+        lsh_candidate_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    n_hot, dim = 120, 16
+    v = rng.normal(size=dim)
+    v /= np.linalg.norm(v)
+    rows = [(i, v.astype("float32").tolist()) for i in range(n_hot)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    index = build_lsh_index(emb, dim=dim, n_planes=8, n_tables=1)
+
+    uncapped = lsh_candidate_pairs(index, bucket_cap=None).count()
+    assert uncapped == n_hot * (n_hot - 1) // 2  # the quadratic cliff
+
+    cap = 20
+    capped = lsh_candidate_pairs(index, bucket_cap=cap).count()
+    # nsplit=ceil(120/20)=6 sub-buckets → pair work ≈ n·cap/2, linear in
+    # occupancy instead of quadratic (with >1 table the DISTINCT union
+    # grows again by design — independent salts re-offer pairs, that is
+    # the recall knob; the per-table shuffle stays bounded)
+    assert capped <= n_hot * cap  # vs 7140 uncapped; generous slack
+    assert capped < uncapped / 3
+
+    # cap leaves a well-behaved corpus untouched (default cap is high)
+    base = rng.normal(size=(30, dim))
+    rows2 = [(i, (b / np.linalg.norm(b)).astype("float32").tolist())
+             for i, b in enumerate(base)]
+    rows2.append((500, rows2[0][1]))  # one exact twin
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
+    out_nocap = {r.doc_id: r.canonical_id for r in
+                 embedding_dedup(emb2, threshold=0.999,
+                                 bucket_cap=None).collect()}
+    out_cap = {r.doc_id: r.canonical_id for r in
+               embedding_dedup(emb2, threshold=0.999).collect()}
+    assert out_cap == out_nocap and out_cap[500] == 0
