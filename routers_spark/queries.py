@@ -1587,15 +1587,74 @@ def _q_mvt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("z", "x", "y", "n_points", F.md5("mvt").alias("mvt_md5"))
 
 
-@nosql_query("dbscan_clusters")
-def _q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 cell-partitioned haversine DBSCAN over the image GPS points."""
-    from routers_spark.fixtures.images import generate_images
+@sql_query("dbscan_clusters")
+def _q_dbscan_sql(dialect: str) -> str:
+    """T5 DBSCAN, ORACLE-GATED (upgraded from rows-only in r4): the Spark
+    side runs the REAL cell-partitioned engine (tiling/cluster.py
+    cluster_points: geohash-5 Arrow cell pass, per-cell vectorized
+    range-query + BFS expansion, cluster.rs:202-318 semantics) in its
+    capacity=∞ configuration. With no capacity cap the expansion exhausts
+    every eps-reachable point, so a cluster is EXACTLY a connected
+    component of the same-cell eps-graph with ≥3 members (any connected
+    graph on ≥3 vertices has a vertex of degree ≥2, so some seed always
+    starts it) — order-independent and SQL-expressible: pair join on the
+    shared geohash-5 cell + haversine ≤ eps, recursive min-label closure,
+    size filter. Compared columns are counts and EXACT member-coordinate
+    bboxes (no float aggregation — bit-reproducible across engines; the
+    float centroid/hull stay in the engine output but out of the hash)."""
+    d = _d(dialect)
+    p = sqlgen.Program("SELECT event_id FROM events", ["event_id"])
+    gh5 = sqlgen.p_geohash_str(p, d, EVENT_LON, EVENT_LAT, 5)
+    pts_sql = p.render([
+        "CAST(event_id AS BIGINT) AS event_id",
+        f"{EVENT_LON} AS lon", f"{EVENT_LAT} AS lat",
+        f"{gh5} AS cell",
+    ])
+    hv = haversine_m_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    # fence the geohash program from the join predicate (CTE-inlining
+    # blowup — same fix as tile_range_scan)
+    mat = " MATERIALIZED" if dialect == "duckdb" else ""
+    return f"""
+WITH RECURSIVE pts AS{mat} ({pts_sql}),
+pairs AS (
+  SELECT a.event_id AS u, b.event_id AS v
+  FROM pts a JOIN pts b ON a.cell = b.cell AND a.event_id <> b.event_id
+  WHERE {hv} <= 800.0e0
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM pairs) s
+  UNION
+  SELECT p.u, r.lbl FROM pairs p JOIN reach r ON r.u = p.v
+),
+canon AS (SELECT u, MIN(lbl) AS lbl FROM reach GROUP BY u),
+members AS (
+  SELECT c.lbl, p.cell, p.lon, p.lat
+  FROM canon c JOIN pts p ON p.event_id = c.u
+),
+clusters AS (
+  SELECT cell, lbl, COUNT(*) AS n_points,
+         MIN(lon) AS min_lon, MIN(lat) AS min_lat,
+         MAX(lon) AS max_lon, MAX(lat) AS max_lat
+  FROM members GROUP BY cell, lbl
+)
+SELECT cell, CAST(n_points AS BIGINT) AS n_points,
+       min_lon, min_lat, max_lon, max_lat
+FROM clusters WHERE n_points >= 3
+"""
+
+
+def _dbscan_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from routers_spark.tiling.cluster import cluster_points
 
-    n = min(2000, max(200, _sf_scale(spark, sf_dir) // 5))
-    images = spark.createDataFrame(generate_images(n, seed=42))
-    return cluster_points(images.select("lon", "lat"), eps_m=60.0)
+    register_views(spark, sf_dir)
+    pts = spark.sql(
+        f"SELECT {EVENT_LON} AS lon, {EVENT_LAT} AS lat FROM events")
+    out = cluster_points(pts, eps_m=800.0, capacity=10**9)
+    return out.select(
+        "cell", F.col("n_points").cast("bigint").alias("n_points"),
+        "min_lon", "min_lat", "max_lon", "max_lat")
 
 
 @sql_query("minhash_dedup_pipeline")
@@ -2093,6 +2152,7 @@ _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_exact": _ann_ivf_exact_spark,
     "ann_lsh_exact": _ann_lsh_exact_spark,
     "map_match_exact": _map_match_exact_spark,
+    "dbscan_clusters": _dbscan_spark,
     "osm_pbf_way_expansion": _pbf_way_edges_spark,
     "zone_bbox_lookup": _zone_bbox_spark,
 }

@@ -108,7 +108,8 @@ def convex_hull(xs: np.ndarray, ys: np.ndarray) -> list[tuple[float, float]]:
 
 CLUSTER_SCHEMA = (
     "cell string, cluster_id long, n_points long, centroid_lon double, "
-    "centroid_lat double, hull_wkt string"
+    "centroid_lat double, min_lon double, min_lat double, max_lon double, "
+    "max_lat double, hull_wkt string"
 )
 
 
@@ -151,10 +152,16 @@ def cluster_points(points_df: DataFrame, eps_m: float, cell_precision: int = 5,
                 if len(hull) >= 3 else "POINT EMPTY"
             )
             cid = int(np.uint64(geohash_int_np([cx], [cy], 12)[0]))
-            rows.append((key[0], cid, int(m.sum()), cx, cy, wkt))
+            # bbox in EXACT member coordinates (min/max, no arithmetic) —
+            # unlike the float centroid these are bit-reproducible by any
+            # engine, which is what the driver oracle compares
+            rows.append((key[0], cid, int(m.sum()), cx, cy,
+                         float(lons[m].min()), float(lats[m].min()),
+                         float(lons[m].max()), float(lats[m].max()), wkt))
         return pd.DataFrame(
             rows, columns=["cell", "cluster_id", "n_points",
-                           "centroid_lon", "centroid_lat", "hull_wkt"]
+                           "centroid_lon", "centroid_lat", "min_lon",
+                           "min_lat", "max_lon", "max_lat", "hull_wkt"]
         )
 
     return with_cell.groupBy("cell").applyInPandas(run, schema=CLUSTER_SCHEMA)
