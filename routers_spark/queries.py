@@ -1573,18 +1573,95 @@ def _q_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@nosql_query("mvt_point_tiles")
-def _q_mvt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4/S9 MVT point-layer tiles (wire format round-trip tested)."""
+# MVT gate fixture: integer tile coords + in-tile offsets derived from
+# event_id by pure modular arithmetic (shared verbatim between dialects);
+# the Spark side INVERTS the slippy projection to place each point at the
+# CENTER of its target integer offset cell (+0.5), so the engine's forward
+# transcendental math re-derives the intended integers with a 0.5-px
+# safety margin (float noise is ~1e-6 px) and the oracle never touches a
+# transcendental — it just restates the integers.
+_MVT_ZOOM = 14
+
+
+def _mvt_ints_sql() -> str:
+    return f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(8000 + event_id % 23 AS BIGINT) AS tx,
+       CAST(8000 + (event_id * 7) % 17 AS BIGINT) AS ty,
+       CAST((event_id * 48271) % 4096 AS BIGINT) AS pxi,
+       CAST((event_id * 69621) % 4096 AS BIGINT) AS pyi
+FROM events"""
+
+
+@sql_query("mvt_point_tiles")
+def _q_mvt_sql(dialect: str) -> str:
+    """T4/S9 MVT tiles, ORACLE-GATED through the WIRE FORMAT (upgraded
+    from rows-only in r4, the same recipe as the PBF gate): the Spark side
+    projects the fixture points, groups them into slippy tiles, ENCODES
+    each tile's point layer as real MVT protobuf bytes (tiling/mvt.py:
+    zigzag MoveTo geometry, varint framing, stable feature order) and
+    DECODES the bytes back; the oracle restates the intended integers.
+    A mismatch anywhere in tile assignment, offset quantization, zigzag/
+    varint encode, layer framing, or decode fails the gate. Feature ids
+    (geohash-packed u64 of the float position) stay out of the hash —
+    they depend on transcendental lat math the two engines would compute
+    differently."""
+    return f"""
+WITH pts AS ({_mvt_ints_sql()})
+SELECT CAST({_MVT_ZOOM} AS BIGINT) AS z, tx AS x, ty AS y,
+       CAST(COUNT(*) OVER (PARTITION BY tx, ty) AS BIGINT) AS n_points,
+       pxi AS px, pyi AS py
+FROM pts"""
+
+
+def _mvt_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
 
-    from routers_spark.fixtures.images import generate_images
+    from routers_spark.tiling.mvt import decode_layer, unzig
     from routers_spark.tiling.pipeline import mvt_point_tiles
 
-    n = min(500, max(100, _sf_scale(spark, sf_dir) // 20))
-    images = spark.createDataFrame(generate_images(n, seed=42))
-    out = mvt_point_tiles(images.select("image_id", "lon", "lat"), zoom=14)
-    return out.select("z", "x", "y", "n_points", F.md5("mvt").alias("mvt_md5"))
+    register_views(spark, sf_dir)
+    ints = spark.sql(_mvt_ints_sql())
+    n = float(1 << _MVT_ZOOM)
+
+    def to_lonlat(batches):
+        for pdf in batches:
+            x = pdf["tx"].values + (pdf["pxi"].values + 0.5) / 4096.0
+            y = pdf["ty"].values + (pdf["pyi"].values + 0.5) / 4096.0
+            lon = x / n * 360.0 - 180.0
+            # exact inverse of the engine's forward formula
+            # y = n(1 - ln(tan r + sec r)/pi)/2 with r = lat*0.0174533:
+            # ln(tan r + sec r) = asinh(tan r) => r = atan(sinh(t))
+            t = np.pi * (1.0 - 2.0 * y / n)
+            lat = np.arctan(np.sinh(t)) / 0.0174533
+            yield pdf.assign(lon=lon, lat=lat)[["event_id", "lon", "lat"]]
+
+    points = ints.mapInPandas(
+        to_lonlat, schema="event_id long, lon double, lat double")
+    tiles = mvt_point_tiles(points, zoom=_MVT_ZOOM, id_col="event_id")
+
+    def decode(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("z", "x", "y", "n_points", "px", "py")}
+            for r in pdf.itertuples(index=False):
+                layer = decode_layer(bytes(r.mvt))
+                assert layer["extent"] == 4096
+                for f in layer["features"]:
+                    rows["z"].append(r.z)
+                    rows["x"].append(r.x)
+                    rows["y"].append(r.y)
+                    rows["n_points"].append(r.n_points)
+                    rows["px"].append(unzig(f["geometry"][1]))
+                    rows["py"].append(unzig(f["geometry"][2]))
+            yield pd.DataFrame(rows)
+
+    out = tiles.mapInPandas(
+        decode, schema="z long, x long, y long, n_points long, "
+                       "px long, py long")
+    return out.select(*[F.col(c).cast("bigint").alias(c)
+                        for c in ("z", "x", "y", "n_points", "px", "py")])
 
 
 @sql_query("dbscan_clusters")
@@ -2153,6 +2230,7 @@ _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_exact": _ann_lsh_exact_spark,
     "map_match_exact": _map_match_exact_spark,
     "dbscan_clusters": _dbscan_spark,
+    "mvt_point_tiles": _mvt_spark,
     "osm_pbf_way_expansion": _pbf_way_edges_spark,
     "zone_bbox_lookup": _zone_bbox_spark,
 }
