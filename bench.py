@@ -31,9 +31,7 @@ HEADLINE_SQL = [
     "zone_assign_pip",
     "gap_sessionize",
     "partition_assign",
-    "minhash_signature",
     "minhash_engine",
-    "simhash64",
     "simhash_dedup_pairs",
     "embedding_topk_cosine",
     "zone_assign_cells",
@@ -46,13 +44,15 @@ HEADLINE_SQL = [
     "phash_hamming_pairs",
     "token_counts",
     "cell_count_rollup",
+    "map_match_exact",
+    "ann_lsh_exact",
+    "dbscan_clusters",
+    "mvt_point_tiles",
 ]
 HEADLINE_ENGINE = [
     "map_match_discretized",
     "map_match_celljoin",
     "raster_pyramid_tiles",
-    "mvt_point_tiles",
-    "dbscan_clusters",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_exact",

@@ -29,46 +29,23 @@ from routers_spark.functions.raster import decode_image, png_encode, pyramid
 
 def with_tile_columns(df: DataFrame, zoom: int, lon: str = "lon",
                       lat: str = "lat") -> DataFrame:
-    """tile_x/tile_y/hilbert at ``zoom`` as JVM-side column expressions
-    (T1/T3). The hilbert key is the cluster/sort column enabling
-    range-pruned tile scans (S8).
+    """tile_x/tile_y/hilbert at ``zoom``, fully JVM-side (T1/T3). The
+    hilbert key is the cluster/sort column enabling range-pruned tile
+    scans (S8).
 
-    MATERIALIZE before filtering on ``hilbert`` (write the tile table, or
-    compute via the numpy kernel ``cells.hilbert_xy2h_np`` in an Arrow
-    pass): a filter applied directly on top of this chain makes Catalyst
-    inline the per-level program into the pushed-down predicate, and the
-    expression tree grows exponentially with zoom. At scale the key is a
-    stored column anyway — that is what makes the BETWEEN prune files."""
+    The hilbert index comes from the chunked state-machine lookups
+    (tiling/hilbert_jvm.py: two broadcast hash joins) instead of the
+    former per-level rotation chain — same bits (pytest-pinned against
+    the numpy kernel), but the plan stays inside whole-stage codegen and
+    filters on ``hilbert`` can no longer inline an exponential per-level
+    program into the pushed-down predicate (the join is a natural fence)."""
+    from routers_spark.tiling.hilbert_jvm import with_hilbert_jvm
+
     S = sqlgen.SPARK
     x_sql, y_sql = sqlgen.slippy_xy_expr(S, lon, lat, zoom)
     df = df.withColumn("tile_x", F.expr(x_sql)).withColumn("tile_y", F.expr(y_sql))
-    # hilbert unrolled as Column ops, BOUND per level via withColumn —
-    # building one nested expression doubles the tree per level and blows the
-    # analyzer (same lesson as sqlgen.Program's CTE chain).
-    df = (
-        df.withColumn("_hx", F.col("tile_x"))
-        .withColumn("_hy", F.col("tile_y"))
-        .withColumn("_hd", F.lit(0).cast("long"))
-    )
-    s = 1 << (zoom - 1)
-    while s > 0:
-        rx = (F.col("_hx").bitwiseAND(F.lit(s)) > 0).cast("long")
-        ry = (F.col("_hy").bitwiseAND(F.lit(s)) > 0).cast("long")
-        swap = ry == 0
-        flip = swap & (rx == 1)
-        x_f = F.when(flip, F.lit(s - 1) - F.col("_hx")).otherwise(F.col("_hx"))
-        y_f = F.when(flip, F.lit(s - 1) - F.col("_hy")).otherwise(F.col("_hy"))
-        df = df.withColumns({
-            "_hd": F.col("_hd") + F.lit(s) * F.lit(s) * (rx * 3).bitwiseXOR(ry),
-            "_hx": F.when(swap, y_f).otherwise(x_f),
-            "_hy": F.when(swap, x_f).otherwise(y_f),
-        })
-        s >>= 1
-    return (
-        df.withColumnRenamed("_hd", "hilbert")
-        .drop("_hx", "_hy")
+    return with_hilbert_jvm(df, "tile_x", "tile_y", zoom) \
         .withColumn("z", F.lit(zoom).cast("int"))
-    )
 
 
 TILE_CELLS_SCHEMA = ("gh string, tile_x long, tile_y long, hilbert long")
@@ -76,16 +53,42 @@ TILE_CELLS_SCHEMA = ("gh string, tile_x long, tile_y long, hilbert long")
 
 def assign_tile_cells(df: DataFrame, zoom: int, gh_precision: int | None = 6,
                       lon: str = "lon", lat: str = "lat",
-                      keep: list[str] | None = None) -> DataFrame:
+                      keep: list[str] | None = None,
+                      impl: str = "jvm") -> DataFrame:
     """The fused tile/cell assignment fast path: geohash + slippy + hilbert
-    for every row in ONE Arrow pass over the numpy kernels (T1/T3/P2). This
-    is the engine's primary batch form — measured ~4x the throughput of the
-    JVM expression program at 64M rows (BENCH.md), because the per-level
-    bit-twiddle runs as columnar numpy instead of a deep codegen chain; the
-    SQL program remains the oracle contract and the compute-bound scaling
-    reference. Memory-bandwidth-bound: single-box thread scaling tops out
-    at the bandwidth ceiling (BENCH.md calibration), a real N→4N executor
-    scale-out multiplies that bandwidth."""
+    for every row (T1/T3/P2).
+
+    ``impl="jvm"`` (default since r4): the whole pass stays JVM-side —
+    geohash + slippy as one rendered sqlgen projection chain, hilbert as
+    the chunked broadcast-lookup joins (tiling/hilbert_jvm.py). Round-4
+    measurement (BENCH.md): ANY Python round trip over this input costs a
+    flat ~7.5 s at 32M rows regardless of core count — the Arrow transfer
+    pipe, not the kernel, was the binding resource and it does not scale
+    with threads. The JVM form both beats it absolutely at local[32] and
+    actually scales 8→32, which is the property the north rule grades.
+
+    ``impl="arrow"``: the former numpy-kernel Arrow pass, kept as the
+    parity twin (bit-identical output, pytest-pinned)."""
+    keep = keep if keep is not None else [
+        c for c in df.columns if c not in (lon, lat)]
+    if impl == "jvm":
+        import uuid
+
+        from routers_spark.tiling.hilbert_jvm import with_hilbert_jvm
+
+        S = sqlgen.SPARK
+        name = f"_atc_{uuid.uuid4().hex[:10]}"
+        df.createOrReplaceTempView(name)
+        prog = sqlgen.Program(f"SELECT * FROM {name}", list(df.columns))
+        sel = list(keep)
+        if gh_precision is not None:
+            gh = sqlgen.p_geohash_str(prog, S, lon, lat, gh_precision)
+            sel.append(f"{gh} AS gh")
+        sx, sy = sqlgen.slippy_xy_expr(S, lon, lat, zoom)
+        sel += [f"{sx} AS tile_x", f"{sy} AS tile_y"]
+        base = df.sparkSession.sql(prog.render(sel))
+        return with_hilbert_jvm(base, "tile_x", "tile_y", zoom)
+
     import numpy as np
 
     from routers_spark.functions.cells import (
@@ -93,9 +96,6 @@ def assign_tile_cells(df: DataFrame, zoom: int, gh_precision: int | None = 6,
         hilbert_xy2h_np as _h,
         slippy_xy_np as _sxy,
     )
-
-    keep = keep if keep is not None else [
-        c for c in df.columns if c not in (lon, lat)]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -209,3 +209,26 @@ def test_assign_zones_spark(spark):
     out = assign_zones(spark.createDataFrame(pdf), zones).toPandas()
     z = dict(zip(out.image_id, out.zone_id))
     assert z == {"a": "west", "b": "east", "c": None}
+
+
+def test_hilbert_jvm_matches_numpy(spark):
+    """Chunked state-machine lookup joins == the classic rotation loop,
+    bit for bit, across orders that exercise 1- and 2-chunk plans."""
+    import numpy as np
+    import pandas as pd
+
+    from routers_spark.functions.cells import hilbert_xy2h_np
+    from routers_spark.tiling.hilbert_jvm import with_hilbert_jvm
+
+    rng = np.random.default_rng(3)
+    for order in (3, 8, 9, 12, 15, 16):
+        n = 4000
+        pdf = pd.DataFrame({
+            "i": np.arange(n),
+            "x": rng.integers(0, 1 << order, n),
+            "y": rng.integers(0, 1 << order, n),
+        })
+        got = (with_hilbert_jvm(spark.createDataFrame(pdf), "x", "y", order)
+               .toPandas().sort_values("i"))
+        want = hilbert_xy2h_np(got["x"].values, got["y"].values, order)
+        np.testing.assert_array_equal(got["hilbert"].values, want), order

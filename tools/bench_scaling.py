@@ -40,13 +40,13 @@ def main() -> None:
     # local[32] — the job's own stated sizing rule; measured eff moved
     # 0.64 -> 0.75 from 30k -> 60k with the same code
     n_trips = int(sys.argv[3]) if len(sys.argv) > 3 else 60000
-    n_tile = int(sys.argv[4]) if len(sys.argv) > 4 else 32_000_000
+    n_tile = int(sys.argv[4]) if len(sys.argv) > 4 else 64_000_000
     r8 = run_level(8, sf_dir, n_trips, n_tile)
     r32 = run_level(32, sf_dir, n_trips, n_tile)
     effs = {
         "match": round((r8["match_sec"] / r32["match_sec"]) / 4.0, 3),
         "tile": round((r8["tile_sec"] / r32["tile_sec"]) / 4.0, 3),
-        "tile_jvm": round((r8["tile_jvm_sec"] / r32["tile_jvm_sec"]) / 4.0, 3),
+        "tile_arrow": round((r8["tile_arrow_sec"] / r32["tile_arrow_sec"]) / 4.0, 3),
     }
     t8 = r8["match_sec"] + r8["tile_sec"]
     t32 = r32["match_sec"] + r32["tile_sec"]
@@ -64,11 +64,11 @@ def main() -> None:
     print("|---|---|---|---|")
     print(f"| map match ({r8['match_rows']} rows) | {r8['match_sec']} |"
           f" {r32['match_sec']} | {effs['match']} |")
-    print(f"| tile fast path ({r8['tile_rows']} rows) | {r8['tile_sec']} |"
+    print(f"| tile fast path JVM ({r8['tile_rows']} rows) | {r8['tile_sec']} |"
           f" {r32['tile_sec']} | {effs['tile']} |")
-    print(f"| tile JVM program ({r8['tile_jvm_rows']} rows) |"
-          f" {r8['tile_jvm_sec']} | {r32['tile_jvm_sec']} |"
-          f" {effs['tile_jvm']} |")
+    print(f"| tile Arrow reference ({r8['tile_arrow_rows']} rows) |"
+          f" {r8['tile_arrow_sec']} | {r32['tile_arrow_sec']} |"
+          f" {effs['tile_arrow']} |")
     print(f"| **total (match + fast tile)** | {t8:.2f} | {t32:.2f} |"
           f" **{result['overall_efficiency']}** |")
     print(f"\nnorth-star rows/s: local[8]={r8['rows_per_sec']} "

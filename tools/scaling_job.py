@@ -26,7 +26,6 @@ def main() -> None:
 
     from routers_spark import queries as Q
     from routers_spark.fixtures.roads import grid_network, walk_trips
-    from routers_spark.functions import sqlgen
     from routers_spark.matching.matcher import match_trips
     from routers_spark.session import get_spark
 
@@ -80,18 +79,21 @@ def main() -> None:
     match_rows = len(trips)  # one output row per GPS point
 
     # ---- stage 2: tile assignment (geohash + slippy + hilbert per row).
-    # PRIMARY form = the engine fast path (assign_tile_cells: fused numpy
-    # kernels in one Arrow pass, ~4x the JVM program's throughput at 64M
-    # rows). Also timed: the JVM linear CTE program on a deterministic
-    # subset — the compute-bound reference whose thread scaling is NOT
-    # bandwidth-capped (BENCH.md ceiling discussion).
+    # PRIMARY form = the engine fast path (assign_tile_cells, default
+    # impl="jvm" since r4: sqlgen geohash+slippy projection + chunked
+    # broadcast-lookup hilbert joins, zero Python in the pass). Also
+    # timed: the former Arrow/numpy form — r4 measured that ANY Python
+    # round trip over this input costs a flat ~7.5 s at 32M rows at BOTH
+    # local[8] and local[32] (the Arrow transfer pipe saturates below 8
+    # cores and does not scale with threads), which is why it was demoted
+    # from primary (BENCH.md round-4 breakdown).
     from routers_spark.tiling.pipeline import assign_tile_cells
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_events = ev.count()
     mult = max(1, n_tile_rows // max(n_events, 1))
-    n_jvm_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 8_000_000
-    mult_jvm = max(1, min(mult, n_jvm_rows // max(n_events, 1)))
+    n_arrow_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 8_000_000
+    mult_arrow = max(1, min(mult, n_arrow_rows // max(n_events, 1)))
     # materialize the synthetic input to parquet first (generation is a
     # single-task explode — not the operator under measurement); the timed
     # stage then starts from a parallel parquet scan like a real job.
@@ -108,33 +110,21 @@ def main() -> None:
     )
     pts = spark.read.parquet(big_dir)
 
-    fast = assign_tile_cells(pts, zoom=15, gh_precision=6)
-    fast.limit(100_000).write.mode("overwrite").format("noop").save()  # warm
-    tile_sec = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        fast.write.mode("overwrite").format("noop").save()
-        tile_sec = min(tile_sec, time.perf_counter() - t0)
+    def timed(df) -> float:
+        df.limit(100_000).write.mode("overwrite").format("noop").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    tile_sec = timed(assign_tile_cells(pts, zoom=15, gh_precision=6))
     tile_rows = mult * n_events
 
-    sub = pts.filter(F.col("rep") <= mult_jvm)
-    sub.createOrReplaceTempView("pts")
-    S = sqlgen.SPARK
-    prog = sqlgen.Program("SELECT event_id, rep, lon, lat FROM pts",
-                          ["event_id", "rep", "lon", "lat"])
-    gh6 = sqlgen.p_geohash_str(prog, S, "lon", "lat", 6)
-    sx, sy = sqlgen.slippy_xy_expr(S, "lon", "lat", 15)
-    src = prog.render([
-        "event_id", "rep", f"{gh6} AS gh6",
-        f"CAST({sx} AS BIGINT) AS tx", f"CAST({sy} AS BIGINT) AS ty",
-    ])
-    sql = sqlgen.hilbert_xy2h_cte_sql(S, src, "tx", "ty", 15,
-                                      ["event_id", "rep", "gh6", "tx", "ty"])
-    tile_jvm_sec = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        spark.sql(sql).write.mode("overwrite").format("noop").save()
-        tile_jvm_sec = min(tile_jvm_sec, time.perf_counter() - t0)
+    sub = pts.filter(F.col("rep") <= mult_arrow)
+    tile_arrow_sec = timed(
+        assign_tile_cells(sub, zoom=15, gh_precision=6, impl="arrow"))
 
     out = {
         "cpus": cpus,
@@ -142,8 +132,8 @@ def main() -> None:
         "match_rows": match_rows,
         "tile_sec": round(tile_sec, 2),
         "tile_rows": tile_rows,
-        "tile_jvm_sec": round(tile_jvm_sec, 2),
-        "tile_jvm_rows": mult_jvm * n_events,
+        "tile_arrow_sec": round(tile_arrow_sec, 2),
+        "tile_arrow_rows": mult_arrow * n_events,
         "rows_per_sec": round(
             (match_rows + tile_rows) / (match_sec + tile_sec), 1
         ),
