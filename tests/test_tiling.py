@@ -232,3 +232,25 @@ def test_hilbert_jvm_matches_numpy(spark):
                .toPandas().sort_values("i"))
         want = hilbert_xy2h_np(got["x"].values, got["y"].values, order)
         np.testing.assert_array_equal(got["hilbert"].values, want), order
+
+
+def test_assign_tile_cells_jvm_plan_has_no_python(spark):
+    """Scale guard for the r4 fast path: the default assign_tile_cells plan
+    must stay entirely JVM-side — broadcast lookup joins for hilbert, no
+    Arrow/Python eval node anywhere (the Arrow pipe was the measured
+    non-scaling resource, BENCH.md round-4 breakdown)."""
+    import pandas as pd
+
+    from routers_spark.tiling.pipeline import assign_tile_cells
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "i": [1, 2, 3],
+        "lon": [-118.41, -118.42, -118.43],
+        "lat": [33.71, 33.72, 33.73],
+    }))
+    plan = assign_tile_cells(df, zoom=15, gh_precision=6) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for bad in ("ArrowEvalPython", "FlatMapInPandas", "MapInPandas",
+                "BatchEvalPython"):
+        assert bad not in plan, bad
