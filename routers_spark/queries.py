@@ -1158,8 +1158,19 @@ def _pbf_way_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The encode side (driver toPandas + single-threaded PBF write) is
     # FIXTURE SYNTHESIS, not the operator under test — memoise the written
     # file per corpus so repeated gate/bench runs measure the distributed
-    # DECODE path only.
+    # DECODE path only. The cache is cross-process (/tmp, keyed by corpus
+    # path + the lineitem parquet's stat token so a regenerated corpus
+    # invalidates it) with an in-process fast path.
     path = _PBF_FIXTURE_CACHE.get(sf_dir)
+    if path is None:
+        import hashlib
+        st = os.stat(f"{sf_dir}/lineitem.parquet")
+        token = hashlib.sha1(
+            f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()
+        cand = os.path.join(tempfile.gettempdir(),
+                            f"routers_pbf_{token}.osm.pbf")
+        if os.path.exists(cand):
+            path = _PBF_FIXTURE_CACHE[sf_dir] = cand
     if path is not None and os.path.exists(path):
         _, edges = osm_pbf_to_graph(spark, path)
         return edges.select(
@@ -1190,9 +1201,15 @@ def _pbf_way_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node_id": np.array(all_refs, dtype=np.int64),
         "lon": np.zeros(len(all_refs)), "lat": np.zeros(len(all_refs)),
     })
-    d = tempfile.mkdtemp(prefix="pbf_oracle_")
-    path = os.path.join(d, "ways.osm.pbf")
-    write_osm_pbf(path, nodes_pdf, ways_pdf[["way_id", "refs", "tags"]])
+    import hashlib
+    st = os.stat(f"{sf_dir}/lineitem.parquet")
+    token = hashlib.sha1(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()
+    path = os.path.join(tempfile.gettempdir(),
+                        f"routers_pbf_{token}.osm.pbf")
+    tmp = path + f".tmp{os.getpid()}"
+    write_osm_pbf(tmp, nodes_pdf, ways_pdf[["way_id", "refs", "tags"]])
+    os.replace(tmp, path)  # atomic vs a concurrent writer
     _PBF_FIXTURE_CACHE[sf_dir] = path
     _, edges = osm_pbf_to_graph(spark, path)
     return edges.select(
