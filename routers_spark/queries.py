@@ -1573,21 +1573,126 @@ def _q_match_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_trips(points, nodes, edges, output="interpolated")
 
 
-@nosql_query("raster_pyramid_tiles")
-def _q_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T7 raster pyramid from decoded image bytes (PSNR-gated in pytest)."""
-    from pyspark.sql import functions as F
+_RAS_Z = 19  # base zoom; levels halve to z-1, z-2
 
-    from routers_spark.fixtures.images import generate_images
+
+@sql_query("raster_pyramid_tiles")
+def _q_raster_sql(dialect: str) -> str:
+    """T7 raster pyramid, ORACLE-GATED pixel-exact through the PNG codec
+    (upgraded from rows-only in r4): the Spark side encodes the integer
+    pixel pattern as REAL PNG bytes, runs the REAL ``raster_pyramid``
+    facade (decode → 2×2 integer box-filter halvings (a+b+c+d+2)//4 →
+    per-level slippy tile keys → PNG re-encode) and decodes every output
+    tile back to pixel rows. The oracle recomputes the ITERATED halvings
+    as pure integer SQL (two nested aggregations — iterated rounding is
+    not a single mean) and the per-level tile keys as bit shifts of the
+    constructed integer tile coords (images sit at base-tile CENTERS, so
+    every lower-zoom floor is 0.25 tiles from a boundary — no
+    transcendental knife edges; the engine still computes them through
+    the real WebMercator projection). DuckDB-only text; Spark runs the
+    engine."""
+    r = _IMG_PIX.format(c=0)
+    g = _IMG_PIX.format(c=1)
+    b = _IMG_PIX.format(c=2)
+
+    def halve(src: str) -> str:
+        return (f"SELECT iid, px // 2 AS px, py // 2 AS py,"
+                f" (SUM(r) + 2) // 4 AS r, (SUM(g) + 2) // 4 AS g,"
+                f" (SUM(b) + 2) // 4 AS b"
+                f" FROM {src} GROUP BY iid, px // 2, py // 2")
+
+    return f"""
+WITH img AS (SELECT DISTINCT CAST(event_id % {_IMG_N} AS BIGINT) AS iid
+             FROM events),
+px0 AS (
+  SELECT iid, gx.x AS px, gy.y AS py, {r} AS r, {g} AS g, {b} AS b
+  FROM img
+  CROSS JOIN generate_series(0, {_IMG_W - 1}) gx(x)
+  CROSS JOIN generate_series(0, {_IMG_H - 1}) gy(y)
+),
+px1 AS ({halve('px0')}),
+px2 AS ({halve('px1')}),
+lvl AS (
+  SELECT 0 AS level, * FROM px0
+  UNION ALL SELECT 1 AS level, * FROM px1
+  UNION ALL SELECT 2 AS level, * FROM px2
+)
+SELECT ('img' || CAST(iid AS STRING)) AS image_id,
+       CAST({_RAS_Z} - level AS INT) AS z,
+       CAST((260000 + iid % 41) >> level AS BIGINT) AS x,
+       CAST((174000 + (iid * 3) % 37) >> level AS BIGINT) AS y,
+       CAST(level AS INT) AS level,
+       CAST({_IMG_W} >> level AS INT) AS tile_w,
+       CAST({_IMG_H} >> level AS INT) AS tile_h,
+       CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+       CAST(r AS BIGINT) AS r, CAST(g AS BIGINT) AS g,
+       CAST(b AS BIGINT) AS b
+FROM lvl"""
+
+
+def _raster_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from routers_spark.functions.raster import decode_image, png_encode
     from routers_spark.tiling.pipeline import raster_pyramid
 
-    n = min(200, max(50, _sf_scale(spark, sf_dir) // 50))
-    images = spark.createDataFrame(generate_images(n, seed=42))
-    out = raster_pyramid(images, base_zoom=19, levels=2)
-    return out.select(
-        "image_id", "z", "x", "y", "level", "tile_w", "tile_h",
-        F.md5("tile_png").alias("tile_md5"),
-    )
+    register_views(spark, sf_dir)
+    ids = spark.sql(
+        f"SELECT DISTINCT CAST(event_id % {_IMG_N} AS BIGINT) AS iid "
+        f"FROM events")
+    n = float(1 << _RAS_Z)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid in pdf["iid"]:
+                iid = int(iid)
+                tx = 260000 + iid % 41
+                ty = 174000 + (iid * 3) % 37
+                lon = (tx + 0.5) / n * 360.0 - 180.0
+                t = np.pi * (1.0 - 2.0 * (ty + 0.5) / n)
+                lat = float(np.arctan(np.sinh(t)) / 0.0174533)
+                rows.append((f"img{iid}", png_encode(_img_pattern_np(iid)),
+                             "png", lon, lat))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt",
+                                              "lon", "lat"])
+
+    images = ids.mapInPandas(
+        gen, schema="image_id string, bytes binary, fmt string, "
+                    "lon double, lat double")
+    out = raster_pyramid(images, base_zoom=_RAS_Z, levels=2)
+
+    def explode_px(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("image_id", "z", "x", "y", "level",
+                                    "tile_w", "tile_h", "px", "py",
+                                    "r", "g", "b")}
+            for row in pdf.itertuples(index=False):
+                arr = decode_image(bytes(row.tile_png), "png")
+                h, w = arr.shape[:2]
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w),
+                                     indexing="ij")
+                m = h * w
+                cols["image_id"].append(np.full(m, row.image_id, object))
+                for k in ("z", "x", "y", "level", "tile_w", "tile_h"):
+                    cols[k].append(np.full(m, getattr(row, k)))
+                cols["px"].append(xx.ravel())
+                cols["py"].append(yy.ravel())
+                for ci, ch in enumerate("rgb"):
+                    cols[ch].append(arr[:, :, ci].ravel().astype(np.int64))
+            if not cols["px"]:
+                continue
+            yield pd.DataFrame({k: np.concatenate(v)
+                                for k, v in cols.items()})
+
+    return out.mapInPandas(
+        explode_px,
+        schema="image_id string, z int, x long, y long, level int, "
+               "tile_w int, tile_h int, px int, py int, "
+               "r long, g long, b long")
 
 
 # MVT gate fixture: integer tile coords + in-tile offsets derived from
@@ -1820,16 +1925,92 @@ def _minhash_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canonical_id").cast("bigint").alias("canonical_id"))
 
 
-@nosql_query("image_features")
-def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction: decode → channel means + luminance
-    histogram over the synthetic image corpus (PNG path is a real codec)."""
-    from routers_spark.fixtures.images import generate_images
+# Image gate fixture: 16×16 RGB pixels p(iid, x, y, c) by pure modular
+# arithmetic, carried through a REAL (lossless) PNG encode→decode. All
+# gate columns are exact: channel means are integer sums / 256 (a power
+# of two — the division is exact), histogram bins are counts / 256, and
+# the bin index floor((r+g+b)/3/32) is the same correctly-rounded IEEE
+# expression in both engines (np.histogram's left-closed uniform bins ≡
+# the floor form for values < the top edge).
+_IMG_N, _IMG_W, _IMG_H = 64, 16, 16
+_IMG_PIX = "((iid * 31 + x * 7 + y * 13 + {c} * 97) * 2654435761) % 256"
+
+
+def _img_pattern_np(iid: int):
+    import numpy as np
+
+    y, x, c = np.meshgrid(np.arange(_IMG_H, dtype=np.int64),
+                          np.arange(_IMG_W, dtype=np.int64),
+                          np.arange(3, dtype=np.int64), indexing="ij")
+    return (((iid * 31 + x * 7 + y * 13 + c * 97) * 2654435761) % 256
+            ).astype("uint8")
+
+
+def _image_corpus(spark: SparkSession):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from routers_spark.functions.raster import png_encode
+
+    ids = spark.sql(
+        f"SELECT DISTINCT CAST(event_id % {_IMG_N} AS BIGINT) AS iid "
+        f"FROM events")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(f"img{int(iid)}", png_encode(_img_pattern_np(int(iid))),
+                     "png") for iid in pdf["iid"]]
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    return ids.mapInPandas(
+        gen, schema="image_id string, bytes binary, fmt string")
+
+
+@sql_query("image_features")
+def _q_image_features_sql(dialect: str) -> str:
+    """Multimodal feature extraction, ORACLE-GATED through the PNG codec
+    (upgraded from rows-only in r4): the Spark side encodes the integer
+    pixel pattern as REAL PNG bytes (functions/raster.py: zlib/deflate,
+    filter bytes, CRC framing), the pipeline decodes them back and
+    computes channel means + the 8-bin luminance histogram; the oracle
+    recomputes both from the pattern. A mismatch anywhere in PNG framing,
+    deflate, filter reconstruction, or the feature math fails the gate.
+    ``std_lum`` stays engine-only (two-pass float reduction — summation
+    order is engine-specific). DuckDB-only text; Spark runs the engine."""
+    r = _IMG_PIX.format(c=0)
+    g = _IMG_PIX.format(c=1)
+    b = _IMG_PIX.format(c=2)
+    n_px = _IMG_W * _IMG_H
+    lum_bin = (f"LEAST(CAST(FLOOR((CAST(r + g + b AS DOUBLE) / 3.0e0)"
+               f" / 32.0e0) AS INT), 7)")
+    hist = ",\n         ".join(
+        f"SUM(CASE WHEN {lum_bin} = {j} THEN 1 ELSE 0 END)"
+        f" / {n_px}.0e0 AS hist_{j}" for j in range(8))
+    return f"""
+WITH img AS (SELECT DISTINCT CAST(event_id % {_IMG_N} AS BIGINT) AS iid
+             FROM events),
+px AS (
+  SELECT iid, {r} AS r, {g} AS g, {b} AS b
+  FROM img
+  CROSS JOIN generate_series(0, {_IMG_W - 1}) gx(x)
+  CROSS JOIN generate_series(0, {_IMG_H - 1}) gy(y)
+)
+SELECT ('img' || CAST(iid AS STRING)) AS image_id,
+       SUM(r) / {n_px}.0e0 AS mean_r,
+       SUM(g) / {n_px}.0e0 AS mean_g,
+       SUM(b) / {n_px}.0e0 AS mean_b,
+       {hist}
+FROM px GROUP BY iid"""
+
+
+def _image_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from routers_spark.pipeline.multimodal import image_features
 
-    n = min(500, max(100, _sf_scale(spark, sf_dir) // 20))
-    images = spark.createDataFrame(generate_images(n, seed=42))
-    return image_features(images)
+    register_views(spark, sf_dir)
+    out = image_features(_image_corpus(spark))
+    return out.select("image_id", "mean_r", "mean_g", "mean_b",
+                      *[f"hist_{j}" for j in range(8)])
 
 
 def _phash_corpus_sql(dialect: str) -> str:
@@ -1884,12 +2065,43 @@ def _phash_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("hamming").cast("long").alias("hamming"))
 
 
-@nosql_query("video_frame_sample")
-def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame sampling over REAL video bytes: each clip is a
-    Motion-JPEG AVI (functions/avi.py over the real JPEG codec) with
-    deterministic gradient frames; the pipeline samples every Nth frame,
-    decoding ONLY the sampled chunks, bounded by max_frames per clip."""
+_VID_N = 48  # distinct clips in the gate corpus
+
+
+@sql_query("video_frame_sample")
+def _q_frame_sample_sql(dialect: str) -> str:
+    """Multimodal frame sampling, ORACLE-GATED on the container metadata
+    (upgraded from rows-only in r4): the Spark side encodes deterministic
+    gradient frames as a REAL Motion-JPEG AVI (functions/avi.py over the
+    real JPEG codec), and the pipeline walks the RIFF lists, counts the
+    movi chunks, reads the header fps, samples every Nth frame and decodes
+    ONLY those JPEG chunks; the oracle recomputes the sampled
+    (frame_idx, t_ms, w, h) rows from the clip-length formula. A mismatch
+    in RIFF framing, chunk indexing, header fps, the sampling bound, or
+    the decoded frame dimensions fails the gate. Pixels stay
+    pytest-gated (JPEG is lossy — PSNR ≥ 40 dB parity; the SQL twin
+    cannot express a DCT). DuckDB-only text; Spark runs the engine."""
+    return f"""
+WITH vid AS (SELECT DISTINCT CAST(event_id % {_VID_N} AS BIGINT) AS i
+             FROM events),
+samp AS (
+  SELECT i, CAST(g.k AS BIGINT) AS k
+  FROM vid CROSS JOIN generate_series(0, 7) g(k)
+  WHERE g.k * 10 < i % 40 + 12
+)
+SELECT ('vid' || CAST(i AS STRING)) AS video_id,
+       CAST(k * 10 AS INT) AS frame_idx,
+       -- the avih header stores int(1e6/30) = 33333 us/frame, so the
+       -- FILE's fps is 1e6/33333 (≈30.0003) — the oracle derives t_ms
+       -- from the header value exactly as avi_scan does
+       CAST(FLOOR(CAST(k * 10 AS DOUBLE)
+                  / (1000000.0e0 / 33333.0e0) * 1000.0e0) AS BIGINT)
+         AS t_ms,
+       CAST(16 AS INT) AS w, CAST(16 AS INT) AS h
+FROM samp"""
+
+
+def _frame_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
 
     import numpy as np
@@ -1899,13 +2111,16 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from routers_spark.functions.avi import avi_encode
     from routers_spark.pipeline.multimodal import sample_frames
 
-    n = min(100, max(30, _sf_scale(spark, sf_dir) // 100))
+    register_views(spark, sf_dir)
+    ids = spark.sql(
+        f"SELECT DISTINCT CAST(event_id % {_VID_N} AS BIGINT) AS i "
+        f"FROM events")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yy, xx = np.mgrid[0:16, 0:16]
         for pdf in batches:
             rows = []
-            for i in pdf["id"]:
+            for i in pdf["i"]:
                 i = int(i)
                 n_frames = i % 40 + 12
                 frames = [
@@ -1920,19 +2135,57 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["video_id", "bytes",
                                               "n_frames"])
 
-    videos = spark.range(n).mapInPandas(
+    videos = ids.mapInPandas(
         gen, schema="video_id string, bytes binary, n_frames int")
     out = sample_frames(videos, every_n=10, max_frames=8)
-    return out.select("video_id", "frame_idx", "t_ms", "w", "h",
-                      F.md5("frame_png").alias("frame_md5"))
+    return out.select("video_id", "frame_idx",
+                      F.col("t_ms").cast("bigint").alias("t_ms"),
+                      "w", "h")
 
 
-@nosql_query("audio_window_features")
-def _q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio windowing over REAL PCM WAV payloads: each clip is
-    a synthesized sine+harmonic encoded through the RIFF writer and decoded
-    back by the pipeline (functions/wav.py) — fixed-length windows with
-    RMS/peak, bounded fan-out."""
+# Audio gate fixture: 16-bit PCM sample k(aid, t) by pure modular
+# arithmetic. PCM is LOSSLESS and the window math is exact in float64
+# (x = k/32768 is dyadic, x² sums of 2000 terms stay under 2^53, division
+# and sqrt are correctly rounded IEEE ops), so rms/peak are
+# bit-reproducible across engines with no rounding slack needed.
+_AUDIO_N, _AUDIO_RATE, _AUDIO_SAMPLES = 64, 8000, 8000
+_AUDIO_K = ("((aid * 7919 + t * 104729 + 12345) * 2654435761) % 65536"
+            " - 32768")
+
+
+@sql_query("audio_window_features")
+def _q_audio_windows_sql(dialect: str) -> str:
+    """Multimodal audio windowing, ORACLE-GATED through the WIRE FORMAT
+    (upgraded from rows-only in r4): the Spark side synthesizes the
+    integer PCM pattern, encodes it as a REAL RIFF/WAVE file
+    (functions/wav.py), and the pipeline decodes the bytes back and
+    windows them — the oracle recomputes rms/peak from the integer
+    pattern directly. A mismatch anywhere in PCM quantization, RIFF
+    framing, chunk walking, sample-rate-driven window sizing, or the
+    window math fails the gate. (DuckDB-only text; the Spark side runs
+    the engine, as with every engine-override gate.)"""
+    return f"""
+WITH aud AS (SELECT DISTINCT CAST(event_id % {_AUDIO_N} AS BIGINT) AS aid
+             FROM events),
+samp AS (
+  SELECT aid, CAST(g.t AS BIGINT) AS t,
+         CAST({_AUDIO_K} AS DOUBLE) / 32768.0e0 AS x
+  FROM aud CROSS JOIN generate_series(0, {_AUDIO_SAMPLES - 1}) g(t)
+),
+win AS (
+  SELECT aid, CAST(t // 2000 AS INT) AS window_idx,
+         sqrt(SUM(x * x) / 2000.0e0) AS rms,
+         MAX(ABS(x)) AS peak
+  FROM samp GROUP BY aid, t // 2000
+)
+SELECT ('aud' || CAST(aid AS STRING)) AS audio_id,
+       window_idx,
+       CAST(window_idx * 250 AS BIGINT) AS start_ms,
+       rms, peak
+FROM win"""
+
+
+def _audio_windows_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
 
     import numpy as np
@@ -1942,44 +2195,125 @@ def _q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from routers_spark.functions.wav import wav_encode
     from routers_spark.pipeline.multimodal import audio_windows
 
-    n = min(200, max(50, _sf_scale(spark, sf_dir) // 50))
+    register_views(spark, sf_dir)
+    aids = spark.sql(
+        f"SELECT DISTINCT CAST(event_id % {_AUDIO_N} AS BIGINT) AS aid "
+        f"FROM events")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(_AUDIO_SAMPLES, dtype=np.int64)
         for pdf in batches:
             rows = []
-            for i in pdf["id"]:
-                i = int(i)
-                n_samp = i % 64000 + 8000
-                t = np.arange(n_samp) / 16000.0
-                f0 = 110.0 + (i % 37) * 13.0
-                sig = (0.6 * np.sin(2 * np.pi * f0 * t)
-                       + 0.3 * np.sin(2 * np.pi * 2 * f0 * t))
-                rows.append((f"aud{i}", wav_encode(sig, 16000), n_samp))
+            for aid in pdf["aid"]:
+                aid = int(aid)
+                k = ((aid * 7919 + t * 104729 + 12345)
+                     * 2654435761) % 65536 - 32768
+                # wav_encode rounds s*32767 back to exactly k
+                rows.append((f"aud{aid}",
+                             wav_encode(k / 32767.0, _AUDIO_RATE),
+                             _AUDIO_SAMPLES))
             yield pd.DataFrame(rows, columns=["audio_id", "bytes",
                                               "n_samples"])
 
-    audio = spark.range(n).mapInPandas(
+    audio = aids.mapInPandas(
         gen, schema="audio_id string, bytes binary, n_samples int")
-    out = audio_windows(audio, window_ms=250, max_windows=8)
-    return out.select("audio_id", "window_idx", "start_ms",
-                      F.round("rms", 9).alias("rms"),
-                      F.round("peak", 9).alias("peak"))
+    out = audio_windows(audio, window_ms=250, max_windows=64)
+    return out.select("audio_id", "window_idx",
+                      F.col("start_ms").cast("bigint").alias("start_ms"),
+                      "rms", "peak")
 
 
-@nosql_query("image_resize")
-def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal resize: decode → exact area-average resample → re-encode
-    (box-mean parity + caption byte-passthrough asserted in pytest)."""
-    from pyspark.sql import functions as F
+_RSZ_W, _RSZ_H = 5, 5  # 16→5 is non-integral: exercises the general boxes
 
-    from routers_spark.fixtures.images import generate_images
+
+@sql_query("image_resize")
+def _q_image_resize_sql(dialect: str) -> str:
+    """Multimodal resize, ORACLE-GATED through a full PNG
+    encode→resize→encode→decode cycle (upgraded from rows-only in r4):
+    the Spark side runs the REAL ``resize_images`` facade (integral-image
+    exact area averaging) over real PNG bytes of the integer pattern and
+    DECODES the re-encoded output back to pixel rows; the oracle
+    recomputes each output pixel as floor(box_sum/area + 0.5) over the
+    same floor-partition boxes — pure integer + correctly-rounded IEEE
+    arithmetic, byte-exact through two codec passes. 16→5 is a
+    non-integral ratio, so box sizes vary (3,3,3,3,4) and the general
+    partition logic is in the hash. DuckDB-only text; Spark runs the
+    engine."""
+    r = _IMG_PIX.format(c=0)
+    g = _IMG_PIX.format(c=1)
+    b = _IMG_PIX.format(c=2)
+
+    def box(axis: str, n_out: int, n_src: int) -> str:
+        return (f"SELECT go.o AS o{axis},"
+                f" (go.o * {n_src}) // {n_out} AS {axis}lo,"
+                f" GREATEST((go.o * {n_src}) // {n_out} + 1,"
+                f" ((go.o + 1) * {n_src}) // {n_out}) AS {axis}hi"
+                f" FROM generate_series(0, {n_out - 1}) go(o)")
+
+    def out_px(sum_col: str, alias: str) -> str:
+        return (f"CAST(FLOOR(CAST({sum_col} AS DOUBLE) / area + 0.5e0)"
+                f" AS BIGINT) AS {alias}")
+
+    return f"""
+WITH img AS (SELECT DISTINCT CAST(event_id % {_IMG_N} AS BIGINT) AS iid
+             FROM events),
+px AS (
+  SELECT iid, x, y, {r} AS r, {g} AS g, {b} AS b
+  FROM img
+  CROSS JOIN generate_series(0, {_IMG_W - 1}) gx(x)
+  CROSS JOIN generate_series(0, {_IMG_H - 1}) gy(y)
+),
+bx AS ({box('x', _RSZ_W, _IMG_W)}),
+by AS ({box('y', _RSZ_H, _IMG_H)}),
+cell AS (
+  SELECT p.iid, bx.ox AS x, by.oy AS y,
+         SUM(p.r) AS sr, SUM(p.g) AS sg, SUM(p.b) AS sb,
+         CAST(COUNT(*) AS DOUBLE) AS area
+  FROM px p
+  JOIN bx ON p.x >= bx.xlo AND p.x < bx.xhi
+  JOIN by ON p.y >= by.ylo AND p.y < by.yhi
+  GROUP BY p.iid, bx.ox, by.oy
+)
+SELECT ('img' || CAST(iid AS STRING)) AS image_id,
+       CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+       {out_px('sr', 'r')}, {out_px('sg', 'g')}, {out_px('sb', 'b')}
+FROM cell"""
+
+
+def _image_resize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from routers_spark.functions.raster import decode_image
     from routers_spark.pipeline.multimodal import resize_images
 
-    n = min(500, max(100, _sf_scale(spark, sf_dir) // 20))
-    images = spark.createDataFrame(generate_images(n, seed=42))
-    out = resize_images(images, 16, 16)
-    return out.select("image_id", "w", "h", "fmt", "caption",
-                      F.md5("bytes").alias("bytes_md5"))
+    register_views(spark, sf_dir)
+    out = resize_images(_image_corpus(spark), _RSZ_W, _RSZ_H)
+
+    def explode_px(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("image_id", "x", "y", "r", "g", "b")}
+            for row in pdf.itertuples(index=False):
+                arr = decode_image(bytes(row.bytes), row.fmt)
+                h, w = arr.shape[:2]
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w),
+                                     indexing="ij")
+                cols["image_id"].append(
+                    np.full(h * w, row.image_id, dtype=object))
+                cols["x"].append(xx.ravel())
+                cols["y"].append(yy.ravel())
+                for ci, ch in enumerate("rgb"):
+                    cols[ch].append(arr[:, :, ci].ravel().astype(np.int64))
+            if not cols["x"]:
+                continue
+            yield pd.DataFrame({k: np.concatenate(v)
+                                for k, v in cols.items()})
+
+    return out.mapInPandas(
+        explode_px,
+        schema="image_id string, x int, y int, r long, g long, b long")
 
 
 _EMB_DEDUP_CORPUS = """
@@ -2248,6 +2582,11 @@ _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_match_exact": _map_match_exact_spark,
     "dbscan_clusters": _dbscan_spark,
     "mvt_point_tiles": _mvt_spark,
+    "audio_window_features": _audio_windows_spark,
+    "image_features": _image_features_spark,
+    "image_resize": _image_resize_spark,
+    "video_frame_sample": _frame_sample_spark,
+    "raster_pyramid_tiles": _raster_spark,
     "osm_pbf_way_expansion": _pbf_way_edges_spark,
     "zone_bbox_lookup": _zone_bbox_spark,
 }
