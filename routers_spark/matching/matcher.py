@@ -490,14 +490,18 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
         spark = points_df.sparkSession
         # Guard the driver collect: a graph past the broadcast envelope must
         # go through the distributed celljoin path, not OOM the driver. The
-        # probe is an early-terminating limit+count, not a full scan.
+        # probe is an early-terminating limit+count, not a full scan — and
+        # it covers BOTH collected tables (a sparse network can have few
+        # edges but an enormous nodes table).
         if broadcast_limit_rows is not None:
-            probe = edges_df.limit(broadcast_limit_rows + 1).count()
-            if probe > broadcast_limit_rows:
-                raise ValueError(
-                    f"match_trips: edges table exceeds broadcast_limit_rows="
-                    f"{broadcast_limit_rows}; use candidate_path='celljoin' "
-                    f"(the no-broadcast scale path) or raise the limit.")
+            for side, df_side in (("edges", edges_df), ("nodes", nodes_df)):
+                probe = df_side.limit(broadcast_limit_rows + 1).count()
+                if probe > broadcast_limit_rows:
+                    raise ValueError(
+                        f"match_trips: {side} table exceeds "
+                        f"broadcast_limit_rows={broadcast_limit_rows}; use "
+                        f"candidate_path='celljoin' (the no-broadcast scale "
+                        f"path) or raise the limit.")
         g = build_packed_graph(nodes_df.toPandas(), edges_df.toPandas())
         bc = spark.sparkContext.broadcast(g.to_broadcastable())
         bc_key = uuid.uuid4().hex

@@ -130,8 +130,8 @@ def build_lsh_index(corpus_df: DataFrame, dim: int, n_planes: int = 8,
         gen, schema=f"{id_col} long, t int, bucket long")
 
 
-def lsh_candidate_pairs(index: DataFrame, id_col: str = "vec_id",
-                        bucket_cap: int | None = 10_000) -> DataFrame:
+def lsh_index_pairs(index: DataFrame, id_col: str = "vec_id",
+                    bucket_cap: int | None = 10_000) -> DataFrame:
     """(id_a, id_b) candidate pairs from an (id, t, bucket) LSH index via
     bucketed SELF-join — never all-pairs.
 
@@ -198,12 +198,21 @@ def embedding_dedup(corpus_df: DataFrame, threshold: float = 0.95,
         return corpus_df.select(F.col(id_col).alias("doc_id")).withColumn(
             "canonical_id", F.col("doc_id"))
     dim = len(head[0])
-    index = build_lsh_index(corpus_df, dim, n_planes, n_tables, id_col, vec_col)
+    # Persist the index (bounded registry): with the occupancy cap it is
+    # read THREE times (hot-bucket counts + both self-join sides) — without
+    # the persist each read re-executes the corpus-wide Arrow bucketing
+    # pass, and correctness of the cap would silently lean on the index
+    # being deterministic across executions.
+    from routers_spark.functions.cache import bounded_persist
+
+    index = bounded_persist(
+        build_lsh_index(corpus_df, dim, n_planes, n_tables, id_col, vec_col),
+        "lsh_index")
     # id-only self-join; vectors re-join AFTER the dedup'd candidate set is
     # known (the heavy column never rides the n_tables× index rows)
     vecs = corpus_df.select(id_col, vec_col)
     cand = (
-        lsh_candidate_pairs(index, id_col, bucket_cap)
+        lsh_index_pairs(index, id_col, bucket_cap)
         .join(vecs.withColumnsRenamed({id_col: "id_a", vec_col: "vec_a"}),
               "id_a")
         .join(vecs.withColumnsRenamed({id_col: "id_b", vec_col: "vec_b"}),

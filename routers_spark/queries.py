@@ -1141,7 +1141,20 @@ def _q_pbf_way_edges(dialect: str) -> str:
     return _q_way_edges(dialect)
 
 
-_PBF_FIXTURE_CACHE: dict = {}
+def _pbf_fixture_path(sf_dir: str) -> str:
+    """Cross-process cache path for the synthesized PBF oracle fixture:
+    keyed by corpus path + the lineitem parquet's stat token, so a
+    regenerated corpus (new size/mtime) invalidates it. The stat runs on
+    EVERY call — no in-process memo to go stale."""
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(f"{sf_dir}/lineitem.parquet")
+    token = hashlib.sha1(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()
+    return os.path.join(tempfile.gettempdir(),
+                        f"routers_pbf_{token}.osm.pbf")
 
 
 def _pbf_way_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1157,21 +1170,10 @@ def _pbf_way_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     # The encode side (driver toPandas + single-threaded PBF write) is
     # FIXTURE SYNTHESIS, not the operator under test — memoise the written
-    # file per corpus so repeated gate/bench runs measure the distributed
-    # DECODE path only. The cache is cross-process (/tmp, keyed by corpus
-    # path + the lineitem parquet's stat token so a regenerated corpus
-    # invalidates it) with an in-process fast path.
-    path = _PBF_FIXTURE_CACHE.get(sf_dir)
-    if path is None:
-        import hashlib
-        st = os.stat(f"{sf_dir}/lineitem.parquet")
-        token = hashlib.sha1(
-            f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()
-        cand = os.path.join(tempfile.gettempdir(),
-                            f"routers_pbf_{token}.osm.pbf")
-        if os.path.exists(cand):
-            path = _PBF_FIXTURE_CACHE[sf_dir] = cand
-    if path is not None and os.path.exists(path):
+    # file cross-process so repeated gate/bench runs measure the
+    # distributed DECODE path only (stat-token key: _pbf_fixture_path).
+    path = _pbf_fixture_path(sf_dir)
+    if os.path.exists(path):
         _, edges = osm_pbf_to_graph(spark, path)
         return edges.select(
             F.col("edge_id").cast("long").alias("edge_id"),
@@ -1201,16 +1203,9 @@ def _pbf_way_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node_id": np.array(all_refs, dtype=np.int64),
         "lon": np.zeros(len(all_refs)), "lat": np.zeros(len(all_refs)),
     })
-    import hashlib
-    st = os.stat(f"{sf_dir}/lineitem.parquet")
-    token = hashlib.sha1(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()
-    path = os.path.join(tempfile.gettempdir(),
-                        f"routers_pbf_{token}.osm.pbf")
     tmp = path + f".tmp{os.getpid()}"
     write_osm_pbf(tmp, nodes_pdf, ways_pdf[["way_id", "refs", "tags"]])
     os.replace(tmp, path)  # atomic vs a concurrent writer
-    _PBF_FIXTURE_CACHE[sf_dir] = path
     _, edges = osm_pbf_to_graph(spark, path)
     return edges.select(
         F.col("edge_id").cast("long").alias("edge_id"),

@@ -137,8 +137,12 @@ def edges_with_rows(edges_df: DataFrame,
     # Persist so the counts job and the enumeration job observe the SAME
     # rows even when edges_df is upstream-nondeterministic (sample,
     # round-robin repartition): both jobs read the materialized partitions
-    # instead of re-executing the upstream plan.
-    bucketed = base.withColumn("bucket", bucket_of("edge_id")).persist()
+    # instead of re-executing the upstream plan. Bounded registry: repeated
+    # calls (bench loops) don't accumulate session-lifetime cached copies.
+    from routers_spark.functions.cache import bounded_persist
+
+    bucketed = bounded_persist(
+        base.withColumn("bucket", bucket_of("edge_id")), "edges_with_rows")
 
     counts = {int(r["bucket"]): int(r["cnt"])
               for r in bucketed.groupBy("bucket").agg(

@@ -95,8 +95,11 @@ def with_hilbert_jvm(df: DataFrame, xcol: str, ycol: str, order: int,
             F.col("d").alias(f"_hd{ci}"),
             F.col("st").alias(f"_hst{ci}"),
         )
+        # LEFT join: a NULL x/y produces a NULL key, which must yield a
+        # NULL hilbert — an inner join would silently DROP the row (the
+        # old expression-chain form kept it with a NULL sort key)
         cur = (cur.withColumn(f"_hk{ci}", key.cast("long"))
-               .join(F.broadcast(tbl), f"_hk{ci}"))
+               .join(F.broadcast(tbl), f"_hk{ci}", "left"))
         digit_cols.append((f"_hd{ci}", k))
     expr = None
     bits_below = 2 * order

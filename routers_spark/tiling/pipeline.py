@@ -87,6 +87,9 @@ def assign_tile_cells(df: DataFrame, zoom: int, gh_precision: int | None = 6,
         sx, sy = sqlgen.slippy_xy_expr(S, lon, lat, zoom)
         sel += [f"{sx} AS tile_x", f"{sy} AS tile_y"]
         base = df.sparkSession.sql(prog.render(sel))
+        # the analyzed plan no longer needs the catalog entry — drop it so
+        # repeated calls don't grow the session catalog without bound
+        df.sparkSession.catalog.dropTempView(name)
         return with_hilbert_jvm(base, "tile_x", "tile_y", zoom)
 
     import numpy as np

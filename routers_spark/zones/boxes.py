@@ -130,9 +130,17 @@ def zones_for_boxes(boxes_df: DataFrame, zones: list[dict],
                     sub = cand[corners_in]
                     if not len(sub):
                         continue
-                    hit = sub[~_edges_hit_rects(ex0, ey0, ex1, ey1,
-                                                x0[sub], y0[sub],
-                                                x1[sub], y1[sub])]
+                    # chunk the edge-vs-rect grid: the broadcast test is
+                    # (4, n_rects, n_edges) dense — bound peak memory when
+                    # many candidates fall inside a large-ring zone
+                    blk = max(1, 2_000_000 // max(len(ex0), 1))
+                    keep = []
+                    for s in range(0, len(sub), blk):
+                        part = sub[s:s + blk]
+                        keep.append(part[~_edges_hit_rects(
+                            ex0, ey0, ex1, ey1,
+                            x0[part], y0[part], x1[part], y1[part])])
+                    hit = np.concatenate(keep)
                     pair_req.append(hit)
                     pair_zi.append(np.full(len(hit), zi))
             req = (np.concatenate(pair_req) if pair_req

@@ -164,3 +164,30 @@ def test_zigzag_duckdb():
     got = [r[0] for r in con.execute(f"SELECT {sql} FROM z").fetchall()]
     # zigzag mapping: 0→0, -1→1, 1→2, -2→3, 2→4 (tiles/src/lib.rs:105-107)
     assert got[:5] == [0, 1, 2, 3, 4]
+
+
+def test_dbscan_gate_eps_has_wide_margin():
+    """The dbscan_clusters oracle decides membership with haversine <= 800
+    computed by two different libms — sound only because the event-lattice
+    distance classes leave a wide margin around eps. Pin that margin: no
+    inter-position distance within 50 m of the 800 m threshold (libm
+    differences are ~1e-9 m; duplicate positions sit at exactly 0)."""
+    import numpy as np
+
+    from routers_spark.functions.geo import haversine_m_np
+
+    m = np.arange(4096, dtype=np.int64)
+    lon = -118.5 + ((m * 48271) % 4096).astype(np.float64) * 1.5e-4
+    lat = 33.7 + ((m * 69621) % 4096).astype(np.float64) * 1.0e-4
+    # bbox prefilter keeps the all-pairs check cheap
+    close = []
+    for i in range(len(m)):
+        cand = np.flatnonzero((np.abs(lon - lon[i]) < 0.012)
+                              & (np.abs(lat - lat[i]) < 0.012))
+        cand = cand[cand > i]
+        if len(cand):
+            d = haversine_m_np(lon[i], lat[i], lon[cand], lat[cand])
+            close.extend(d[np.abs(d - 800.0) < 200.0].tolist())
+    close = np.array(close)
+    assert len(close)  # the ~720 m and ~900 m classes exist
+    assert (np.abs(close - 800.0) > 50.0).all()

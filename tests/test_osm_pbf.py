@@ -144,11 +144,31 @@ def test_pbf_graph_matches_trips(spark, pbf_fixture):
 
 
 def test_blob_payload_lzma_and_unknown():
-    """Spec compression coverage: lzma (field 4) decodes via stdlib; an
-    lz4/zstd blob without the optional lib raises a clear error."""
+    """Spec compression coverage: lzma (field 4) decodes via stdlib; lz4
+    (6) / zstd (7) either decode via the optional lib or raise a clear
+    install-hint ValueError; a blob with no payload field raises."""
     import lzma
     from routers_spark.io.osm_pbf import _blob_payload, _enc_int, _enc_tag
 
     block = b"hello pbf block"
     raw = _enc_int(2, len(block)) + _enc_tag(4, lzma.compress(block))
     assert _blob_payload(raw) == block
+
+    for fno, lib, compress in (
+        (6, "lz4.frame", lambda b, m: m.frame.compress(b)),
+        (7, "zstandard", lambda b, m: m.ZstdCompressor().compress(b)),
+    ):
+        try:
+            import importlib
+
+            mod = importlib.import_module(lib.split(".")[0])
+            payload = compress(block, mod)
+            raw = _enc_int(2, len(block)) + _enc_tag(fno, payload)
+            assert _blob_payload(raw) == block
+        except ImportError:
+            raw = _enc_int(2, len(block)) + _enc_tag(fno, b"\x00")
+            with pytest.raises(ValueError, match="install"):
+                _blob_payload(raw)
+
+    with pytest.raises(ValueError, match="supported encoding"):
+        _blob_payload(_enc_int(2, 3))

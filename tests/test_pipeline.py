@@ -360,7 +360,7 @@ def test_lsh_bucket_cap_bounds_hot_bucket_pairs(spark):
     from routers_spark.pipeline.similarity import (
         build_lsh_index,
         embedding_dedup,
-        lsh_candidate_pairs,
+        lsh_index_pairs,
     )
 
     rng = np.random.default_rng(7)
@@ -371,11 +371,11 @@ def test_lsh_bucket_cap_bounds_hot_bucket_pairs(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     index = build_lsh_index(emb, dim=dim, n_planes=8, n_tables=1)
 
-    uncapped = lsh_candidate_pairs(index, bucket_cap=None).count()
+    uncapped = lsh_index_pairs(index, bucket_cap=None).count()
     assert uncapped == n_hot * (n_hot - 1) // 2  # the quadratic cliff
 
     cap = 20
-    capped = lsh_candidate_pairs(index, bucket_cap=cap).count()
+    capped = lsh_index_pairs(index, bucket_cap=cap).count()
     # nsplit=ceil(120/20)=6 sub-buckets → pair work ≈ n·cap/2, linear in
     # occupancy instead of quadratic (with >1 table the DISTINCT union
     # grows again by design — independent salts re-offer pairs, that is

@@ -254,3 +254,19 @@ def test_assign_tile_cells_jvm_plan_has_no_python(spark):
     for bad in ("ArrowEvalPython", "FlatMapInPandas", "MapInPandas",
                 "BatchEvalPython"):
         assert bad not in plan, bad
+
+
+def test_hilbert_jvm_preserves_null_rows(spark):
+    """A NULL x/y must yield a NULL hilbert key, not a silently dropped
+    row (the lookup joins are LEFT joins for exactly this reason)."""
+    import pandas as pd
+
+    from routers_spark.tiling.hilbert_jvm import with_hilbert_jvm
+
+    pdf = pd.DataFrame({"i": [0, 1, 2],
+                        "x": pd.array([3, None, 7], dtype="Int64"),
+                        "y": pd.array([5, 2, None], dtype="Int64")})
+    out = with_hilbert_jvm(spark.createDataFrame(pdf), "x", "y", 15) \
+        .toPandas().sort_values("i")
+    assert len(out) == 3
+    assert out["hilbert"].notna().tolist() == [True, False, False]
