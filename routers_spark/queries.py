@@ -1559,13 +1559,46 @@ def _q_match_celljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_trips(points, nodes, edges, candidate_path="celljoin")
 
 
-@nosql_query("map_match_interpolated")
-def _q_match_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M16 RoutedPath: full driven geometry incl. bridge edges."""
+@sql_query("map_match_exact_celljoin")
+def _q_map_match_exact_celljoin(dialect: str) -> str:
+    """The NO-BROADCAST scale path under the driver oracle (late r4): the
+    SAME corridor closed form as map_match_exact, but the Spark side runs
+    ``match_trips(candidate_path='celljoin')`` — distributed padded
+    cell-cover candidate join, pinned-quantile edge rank, per-trip
+    subgraph cogroup; the global graph is never collected or broadcast.
+    Together with map_match_exact this puts BOTH candidate paths of the
+    flagship facade under hash gates. (This row took the registry slot of
+    the rows-only interpolated variant, whose M16 RoutedPath semantics
+    stay pytest-gated by frozen goldens — tests/test_golden.py.)"""
+    return _q_map_match_exact(dialect)
+
+
+def _map_match_exact_celljoin_spark(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
     from routers_spark.matching.matcher import match_trips
 
-    points, nodes, edges = _fixture_match_inputs(spark, sf_dir)
-    return match_trips(points, nodes, edges, output="interpolated")
+    register_views(spark, sf_dir)
+    points = spark.sql(_mme_points_sql()).drop("road")
+    r = np.arange(_MME_ROADS, dtype=np.int64)
+    y = 33.0 + r.astype(np.float64) * 0.02
+    nodes = pd.DataFrame({
+        "node_id": np.concatenate([2 * r, 2 * r + 1]),
+        "lon": np.concatenate([np.full(_MME_ROADS, -118.5),
+                               np.full(_MME_ROADS, -118.4)]),
+        "lat": np.concatenate([y, y]),
+    })
+    edges = pd.DataFrame({"edge_id": r, "src": 2 * r, "dst": 2 * r + 1,
+                          "weight": np.full(_MME_ROADS, 10, dtype=np.int64)})
+    out = match_trips(points, spark.createDataFrame(nodes),
+                      spark.createDataFrame(edges),
+                      candidate_path="celljoin")
+    return (out.filter(F.col("status") == "matched")
+            .select("trip_id", "seq", "edge_id",
+                    F.round("frac", 9).alias("frac")))
 
 
 _RAS_Z = 19  # base zoom; levels halve to z-1, z-2
@@ -2575,6 +2608,7 @@ _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_exact": _ann_ivf_exact_spark,
     "ann_lsh_exact": _ann_lsh_exact_spark,
     "map_match_exact": _map_match_exact_spark,
+    "map_match_exact_celljoin": _map_match_exact_celljoin_spark,
     "dbscan_clusters": _dbscan_spark,
     "mvt_point_tiles": _mvt_spark,
     "audio_window_features": _audio_windows_spark,
