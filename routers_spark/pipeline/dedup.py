@@ -205,15 +205,65 @@ def simhash_dedup_pairs(docs_df: DataFrame, text_col: str = "text",
     )
 
 
-def connected_canonical_ids(pairs_df: DataFrame, max_iters: int = 15) -> DataFrame:
+def connected_canonical_ids(pairs_df: DataFrame, max_iters: int = 15,
+                            driver_pairs_threshold: int = 1 << 22
+                            ) -> DataFrame:
     """Connected components over undirected dup pairs (doc_a, doc_b):
     every member of a component maps to the component's MINIMUM doc id.
 
-    Iterated min-label propagation with pointer jumping, run to fixpoint
-    (convergence checked by count, capped at ``max_iters`` ≈ log₂ of the
-    largest plausible chain). A single min-over-neighbors pass — the
-    previous shape — mislabels chains A~B~C (A≁C): B→A but C→B.
+    Two paths, same semantics (parity pytest-pinned):
+
+    - **small-side fast path**: when an early-terminating probe shows at
+      most ``driver_pairs_threshold`` pairs (default 4M ≈ 64 MB of ids —
+      a bounded driver footprint, the same envelope reasoning as a
+      broadcast join), the edge list collects once and a numpy union-find
+      labels it in one pass. Near-dup edge lists are tiny relative to the
+      corpus (they are the CANDIDATES that survived banding+verify), so
+      in practice this path serves everything below extreme-dup corpora
+      and replaces ~15 driver-blocking jobs with 2.
+    - **distributed fixpoint**: past the threshold (or with
+      ``driver_pairs_threshold=0``), iterated min-label propagation with
+      pointer jumping, convergence checked by count, capped at
+      ``max_iters`` ≈ log₂ of the largest plausible chain. A single
+      min-over-neighbors pass — the shape before r2 — mislabels chains
+      A~B~C (A≁C): B→A but C→B.
+
     Output: (doc_id, lbl) for docs that appear in any pair."""
+    if driver_pairs_threshold:
+        probe = pairs_df.limit(driver_pairs_threshold + 1).count()
+        if probe <= driver_pairs_threshold:
+            import numpy as np
+
+            pdf = pairs_df.select("doc_a", "doc_b").toPandas()
+            spark = pairs_df.sparkSession
+            if not len(pdf):
+                return spark.createDataFrame([], "doc_id long, lbl long")
+            a = pdf["doc_a"].to_numpy(dtype=np.int64)
+            b = pdf["doc_b"].to_numpy(dtype=np.int64)
+            ids = np.unique(np.concatenate([a, b]))
+            parent = np.arange(len(ids), dtype=np.int64)
+
+            def find(i: int) -> int:
+                root = i
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[i] != root:  # path compression
+                    parent[i], i = root, parent[i]
+                return root
+
+            ai = np.searchsorted(ids, a)
+            bi = np.searchsorted(ids, b)
+            for x, y in zip(ai.tolist(), bi.tolist()):
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+            roots = np.array([find(i) for i in range(len(ids))])
+            # min doc id per component == the root's id (parents always
+            # point at the smaller index, and ids is sorted)
+            lbl = ids[roots]
+            out = pd.DataFrame({"doc_id": ids, "lbl": lbl})
+            return spark.createDataFrame(out)
+
     und = pairs_df.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     und = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     und = und.persist()

@@ -395,3 +395,24 @@ def test_lsh_bucket_cap_bounds_hot_bucket_pairs(spark):
     out_cap = {r.doc_id: r.canonical_id for r in
                embedding_dedup(emb2, threshold=0.999).collect()}
     assert out_cap == out_nocap and out_cap[500] == 0
+
+
+def test_connected_components_driver_path_parity(spark):
+    """The small-side union-find fast path must equal the distributed
+    fixpoint bit-for-bit (chains, stars, singles-out)."""
+    import pandas as pd
+
+    from routers_spark.pipeline.dedup import connected_canonical_ids
+
+    pairs = pd.DataFrame({
+        # chain 5-9-12-3 (min 3), star 20-(21,22,23), pair 40-41
+        "doc_a": [5, 9, 12, 20, 20, 20, 40],
+        "doc_b": [9, 12, 3, 21, 22, 23, 41],
+    })
+    df = spark.createDataFrame(pairs)
+    fast = {r.doc_id: r.lbl for r in connected_canonical_ids(df).collect()}
+    dist = {r.doc_id: r.lbl for r in connected_canonical_ids(
+        df, driver_pairs_threshold=0).collect()}
+    assert fast == dist
+    assert fast[5] == fast[9] == fast[12] == fast[3] == 3
+    assert fast[21] == fast[22] == fast[23] == 20 and fast[40] == 40
