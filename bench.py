@@ -44,6 +44,7 @@ HEADLINE_SQL = [
     "phash_hamming_pairs",
     "token_counts",
     "cell_count_rollup",
+    "maxspeed_parse",
     "map_match_exact",
     "map_match_exact_celljoin",
     "ann_lsh_exact",

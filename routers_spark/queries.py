@@ -670,6 +670,131 @@ FROM rev WHERE rn <= 10
 """
 
 
+# Maxspeed-parse gate fixture: 14 tag shapes over the part table, each
+# with a CLOSED-FORM expected parse (the degenerate-config recipe — the
+# engine runs the real vectorized parser, the oracle restates the known
+# answers). String concat uses || in both dialects.
+_MAXSPEED_CASES_SQL = """
+SELECT CAST(p_partkey AS BIGINT) AS way_id,
+       CASE p_partkey % 14
+         WHEN 5 THEN 'maxspeed:hgv'
+         WHEN 6 THEN 'maxspeed:bus:forward'
+         WHEN 7 THEN 'maxspeed:backward'
+         WHEN 8 THEN 'maxspeed:conditional'
+         WHEN 9 THEN 'maxspeed:lanes'
+         WHEN 10 THEN 'maxspeed:lanes'
+         WHEN 11 THEN 'maxspeed:lanes:conditional'
+         WHEN 12 THEN 'highway'
+         ELSE 'maxspeed' END AS key,
+       CASE p_partkey % 14
+         WHEN 0 THEN CAST(30 + (p_partkey % 9) * 10 AS STRING)
+         WHEN 1 THEN CAST(20 + (p_partkey % 5) * 10 AS STRING) || ' mph'
+         WHEN 2 THEN CAST(5 + (p_partkey % 20) AS STRING) || ' knots'
+         WHEN 3 THEN 'walk'
+         WHEN 4 THEN 'none'
+         WHEN 5 THEN CAST(40 + (p_partkey % 4) * 10 AS STRING) || ' mph'
+         WHEN 6 THEN '40'
+         WHEN 7 THEN '60'
+         WHEN 8 THEN '60 @ (22:00-06:00)'
+         WHEN 9 THEN '100||80'
+         WHEN 10 THEN CAST(50 + (p_partkey % 3) * 10 AS STRING) || '|'
+                      || CAST(30 + (p_partkey % 7) * 5 AS STRING) || '|'
+         WHEN 11 THEN '20 @ (Mo-Fr 06:00-20:00)|10'
+         WHEN 12 THEN 'residential'
+         ELSE '0' END AS value
+FROM part"""
+
+
+@sql_query("maxspeed_parse")
+def _q_maxspeed_sql(dialect: str) -> str:
+    """OSM speed-limit tag parsing (NEW r4 — the largest reference surface
+    earlier rounds scoped out, parsers/speed_limit/*.rs): the Spark side
+    runs the REAL vectorized parser (functions/tags.py: key-section
+    restriction grammar, the verbatim VALUE/CONDITION regex patterns,
+    mph/knots truncating conversions, NonZeroU16 range, per-lane
+    split_terminator semantics) over 14 fixture tag shapes; the oracle
+    restates each shape's closed-form parse. Covers: plain kph, mph,
+    knots, bare specials (no parse), numeric range failures, transport
+    mode + directionality key sections, conditionals, per-lane values
+    with empty slots and trailing terminators, and non-maxspeed keys."""
+    mph = "CAST(floor(CAST(20 + (way_id % 5) * 10 AS DOUBLE) * 1.609344e0) AS INT)"
+    knots = "CAST(floor(CAST(5 + (way_id % 20) AS DOUBLE) * 1.852e0) AS INT)"
+    hgv = "CAST(floor(CAST(40 + (way_id % 4) * 10 AS DOUBLE) * 1.609344e0) AS INT)"
+    return f"""
+WITH w AS (SELECT CAST(p_partkey AS BIGINT) AS way_id,
+                  p_partkey % 14 AS c FROM part),
+rows_out AS (
+  SELECT way_id, 'maxspeed' AS key, -1 AS lane,
+         CAST(30 + (way_id % 9) * 10 AS INT) AS kmh, 'kmh' AS kind,
+         CAST(NULL AS STRING) AS condition,
+         CAST(NULL AS STRING) AS transport_mode,
+         CAST(NULL AS STRING) AS direction
+  FROM w WHERE c = 0
+  UNION ALL
+  SELECT way_id, 'maxspeed', -1, {mph}, 'mph', NULL, NULL, NULL
+  FROM w WHERE c = 1
+  UNION ALL
+  SELECT way_id, 'maxspeed', -1, {knots}, 'knots', NULL, NULL, NULL
+  FROM w WHERE c = 2
+  UNION ALL
+  SELECT way_id, 'maxspeed:hgv', -1, {hgv}, 'mph', NULL, 'hgv', NULL
+  FROM w WHERE c = 5
+  UNION ALL
+  SELECT way_id, 'maxspeed:bus:forward', -1, 40, 'kmh', NULL, 'bus',
+         'forward'
+  FROM w WHERE c = 6
+  UNION ALL
+  SELECT way_id, 'maxspeed:backward', -1, 60, 'kmh', NULL, NULL,
+         'backward'
+  FROM w WHERE c = 7
+  UNION ALL
+  SELECT way_id, 'maxspeed:conditional', -1, 60, 'kmh', '22:00-06:00',
+         NULL, NULL
+  FROM w WHERE c = 8
+  UNION ALL
+  SELECT way_id, 'maxspeed:lanes', 0, 100, 'kmh', NULL, NULL, NULL
+  FROM w WHERE c = 9
+  UNION ALL
+  SELECT way_id, 'maxspeed:lanes', 1, NULL, NULL, NULL, NULL, NULL
+  FROM w WHERE c = 9
+  UNION ALL
+  SELECT way_id, 'maxspeed:lanes', 2, 80, 'kmh', NULL, NULL, NULL
+  FROM w WHERE c = 9
+  UNION ALL
+  SELECT way_id, 'maxspeed:lanes', 0,
+         CAST(50 + (way_id % 3) * 10 AS INT), 'kmh', NULL, NULL, NULL
+  FROM w WHERE c = 10
+  UNION ALL
+  SELECT way_id, 'maxspeed:lanes', 1,
+         CAST(30 + (way_id % 7) * 5 AS INT), 'kmh', NULL, NULL, NULL
+  FROM w WHERE c = 10
+  UNION ALL
+  SELECT way_id, 'maxspeed:lanes:conditional', 0, 20, 'kmh',
+         'Mo-Fr 06:00-20:00', NULL, NULL
+  FROM w WHERE c = 11
+  UNION ALL
+  SELECT way_id, 'maxspeed:lanes:conditional', 1, 10, 'kmh', NULL, NULL,
+         NULL
+  FROM w WHERE c = 11
+)
+SELECT way_id, key, CAST(lane AS INT) AS lane, CAST(kmh AS INT) AS kmh,
+       kind, condition, transport_mode, direction
+FROM rows_out"""
+
+
+def _maxspeed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from routers_spark.functions.tags import parse_maxspeed_tags
+
+    register_views(spark, sf_dir)
+    tags = spark.sql(_MAXSPEED_CASES_SQL)
+    out = parse_maxspeed_tags(tags)
+    return out.select("way_id", "key", F.col("lane").cast("int"),
+                      F.col("kmh").cast("int").alias("kmh"), "kind",
+                      "condition", "transport_mode", "direction")
+
+
 @sql_query("dedup_exact_docs")
 def _q_dedup_exact(dialect: str) -> str:
     """Exact dedup on the documents table: canonical doc id per identical
@@ -2643,7 +2768,12 @@ def spark_fn(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # simhash64 → simhash_dedup_pairs; doc_fingerprint_md5 → dedup_exact_docs)
 # and whose dialect parity stays pytest-gated (tests/test_pipeline_sql.py
 # runs them via sql_queries(), which still lists them).
-_DRIVER_EXCLUDED = {"minhash_signature", "simhash64", "doc_fingerprint_md5"}
+# ngram_jaccard_pairs retired late-r4 to make room for maxspeed_parse: its
+# shingle + int-exact-Jaccard machinery runs INSIDE the still-gated
+# minhash_dedup_pipeline (the inter/verified CTEs) and the kernels stay
+# pytest-gated (test_jaccard_behaviour, test_minhash_estimates_jaccard).
+_DRIVER_EXCLUDED = {"minhash_signature", "simhash64", "doc_fingerprint_md5",
+                    "ngram_jaccard_pairs"}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
