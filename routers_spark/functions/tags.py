@@ -24,7 +24,8 @@ Reference semantics reimplemented from scratch (cited, not copied):
     their lane index.
 
 The engine op is a single Arrow pass built from vectorized pandas string
-ops (extract/split/explode) — no per-row Python."""
+ops (extract/split/explode); the key-grammar resolution runs once per
+DISTINCT key (tag-key cardinality is tiny vs row count), never per row."""
 
 from __future__ import annotations
 
@@ -112,27 +113,36 @@ def _kmh_from(num: pd.Series, unit: pd.Series) -> tuple[pd.Series, pd.Series]:
 def parse_maxspeed_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """(way_id, key, value) rows → exploded per-lane speed rows. Pure
     pandas vectorized string ops; blanket entries use lane -1."""
-    df = pdf[pdf["key"].str.startswith("maxspeed")].copy()
+    df = pdf[pdf["key"].str.startswith("maxspeed", na=False)].copy()
     if not len(df):
         return pd.DataFrame(columns=[
             "way_id", "key", "lane", "kmh", "kind", "condition",
             "transport_mode", "direction"])
-    restr = df["key"].map(parse_restriction)
-    df["transport_mode"] = restr.map(lambda t: t[0])
-    df["direction"] = restr.map(lambda t: t[1])
-    is_lanes = df["key"].str.contains("lanes")
+    # key grammar runs once per DISTINCT key (tag-key cardinality is tiny
+    # vs row count), then broadcasts back by map — the per-row work stays
+    # vectorized pandas ops
+    key_map = {k: parse_restriction(k) for k in df["key"].unique()}
+    df["transport_mode"] = df["key"].map(lambda k: key_map[k][0])
+    df["direction"] = df["key"].map(lambda k: key_map[k][1])
+    is_lanes = df["key"].str.contains("lanes", na=False)
 
     # lanes: split on '|' with split_terminator semantics (drop ONE
     # trailing empty), explode carrying the lane index
     lane_df = df[is_lanes].copy()
     if len(lane_df):
         parts = lane_df["value"].str.split("|")
+        # null values pass through str.split as NaN — skip them; and
+        # split_terminator('') yields ZERO lanes (drop-one-trailing-empty
+        # of [''] is []), which explode() surfaces as a NaN row below
         parts = parts.map(
-            lambda p: p[:-1] if len(p) and p[-1] == "" else p)
+            lambda p: p[:-1] if len(p) and p[-1] == "" else p,
+            na_action="ignore")
         lane_df = lane_df.assign(_parts=parts).explode("_parts")
         lane_df["lane"] = lane_df.groupby(level=0).cumcount()
         lane_df["value"] = lane_df["_parts"]
-        lane_df = lane_df.drop(columns="_parts")
+        # rows whose _parts is NaN come only from empty/null VALUE lists
+        # (real empty lane slots are '' strings) — no lane entries exist
+        lane_df = lane_df[lane_df["_parts"].notna()].drop(columns="_parts")
     blanket = df[~is_lanes].copy()
     blanket["lane"] = -1
     out = pd.concat([blanket, lane_df], ignore_index=True)

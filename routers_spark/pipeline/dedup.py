@@ -230,11 +230,14 @@ def connected_canonical_ids(pairs_df: DataFrame, max_iters: int = 15,
 
     Output: (doc_id, lbl) for docs that appear in any pair."""
     if driver_pairs_threshold:
-        probe = pairs_df.limit(driver_pairs_threshold + 1).count()
-        if probe <= driver_pairs_threshold:
+        # ONE job doubles as probe and collect: pairs_df is the (possibly
+        # expensive) banding+verify output, so a separate count() would
+        # execute its lineage twice
+        pdf = (pairs_df.select("doc_a", "doc_b")
+               .limit(driver_pairs_threshold + 1).toPandas())
+        if len(pdf) <= driver_pairs_threshold:
             import numpy as np
 
-            pdf = pairs_df.select("doc_a", "doc_b").toPandas()
             spark = pairs_df.sparkSession
             if not len(pdf):
                 return spark.createDataFrame([], "doc_id long, lbl long")

@@ -1634,7 +1634,11 @@ SELECT trip_id, seq,
 FROM pts"""
 
 
-def _map_match_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mme_run(spark: SparkSession, sf_dir: str,
+             candidate_path: str) -> DataFrame:
+    """Shared corridor-gate runner: ONE fixture builder for both candidate
+    paths (the IEEE-sensitive y = 33.0 + r*0.02 the oracle depends on must
+    never fork)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -1654,10 +1658,15 @@ def _map_match_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pd.DataFrame({"edge_id": r, "src": 2 * r, "dst": 2 * r + 1,
                           "weight": np.full(_MME_ROADS, 10, dtype=np.int64)})
     out = match_trips(points, spark.createDataFrame(nodes),
-                      spark.createDataFrame(edges))
+                      spark.createDataFrame(edges),
+                      candidate_path=candidate_path)
     return (out.filter(F.col("status") == "matched")
             .select("trip_id", "seq", "edge_id",
                     F.round("frac", 9).alias("frac")))
+
+
+def _map_match_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mme_run(spark, sf_dir, "broadcast")
 
 
 @nosql_query("map_match_discretized")
@@ -1694,36 +1703,14 @@ def _q_map_match_exact_celljoin(dialect: str) -> str:
     Together with map_match_exact this puts BOTH candidate paths of the
     flagship facade under hash gates. (This row took the registry slot of
     the rows-only interpolated variant, whose M16 RoutedPath semantics
-    stay pytest-gated by frozen goldens — tests/test_golden.py.)"""
+    stay pytest-gated — tests/test_matching_spark.py
+    test_match_trips_interpolated plus the frozen matched-edge goldens.)"""
     return _q_map_match_exact(dialect)
 
 
 def _map_match_exact_celljoin_spark(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from routers_spark.matching.matcher import match_trips
-
-    register_views(spark, sf_dir)
-    points = spark.sql(_mme_points_sql()).drop("road")
-    r = np.arange(_MME_ROADS, dtype=np.int64)
-    y = 33.0 + r.astype(np.float64) * 0.02
-    nodes = pd.DataFrame({
-        "node_id": np.concatenate([2 * r, 2 * r + 1]),
-        "lon": np.concatenate([np.full(_MME_ROADS, -118.5),
-                               np.full(_MME_ROADS, -118.4)]),
-        "lat": np.concatenate([y, y]),
-    })
-    edges = pd.DataFrame({"edge_id": r, "src": 2 * r, "dst": 2 * r + 1,
-                          "weight": np.full(_MME_ROADS, 10, dtype=np.int64)})
-    out = match_trips(points, spark.createDataFrame(nodes),
-                      spark.createDataFrame(edges),
-                      candidate_path="celljoin")
-    return (out.filter(F.col("status") == "matched")
-            .select("trip_id", "seq", "edge_id",
-                    F.round("frac", 9).alias("frac")))
+    return _mme_run(spark, sf_dir, "celljoin")
 
 
 _RAS_Z = 19  # base zoom; levels halve to z-1, z-2
@@ -2734,6 +2721,7 @@ _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_exact": _ann_lsh_exact_spark,
     "map_match_exact": _map_match_exact_spark,
     "map_match_exact_celljoin": _map_match_exact_celljoin_spark,
+    "maxspeed_parse": _maxspeed_spark,
     "dbscan_clusters": _dbscan_spark,
     "mvt_point_tiles": _mvt_spark,
     "audio_window_features": _audio_windows_spark,

@@ -111,3 +111,18 @@ def test_blanket_unparsable_dropped_lane_slot_kept():
     out = _one("maxspeed:lanes", "abc|50")
     assert list(out.lane) == [0, 1]
     assert pd.isna(out.iloc[0].kmh) and out.iloc[1].kmh == 50
+
+
+def test_null_and_empty_values_are_safe():
+    """Real tag tables carry nulls: a null key/value must not kill the
+    batch, and maxspeed:lanes='' yields ZERO lane entries (Rust
+    split_terminator('') is empty)."""
+    pdf = pd.DataFrame({
+        "way_id": [0, 1, 2, 3, 4],
+        "key": ["maxspeed", None, "maxspeed:lanes", "maxspeed:lanes",
+                "maxspeed:lanes"],
+        "value": ["50", "60", None, "", "70|30"],
+    })
+    out = parse_maxspeed_pdf(pdf)
+    assert list(out.way_id) == [0, 4, 4]
+    assert list(out.kmh) == [50, 70, 30]
