@@ -161,3 +161,23 @@ def test_driver_registry_holds_fifty_entries():
     assert rows_only.index("ann_lsh_topk") < 2
     # the retired pure-SQL twins stay reachable for the pytest parity gates
     assert "minhash_signature" in Q.sql_queries()
+
+
+def test_engine_gates_run_the_engine():
+    """Anti-vacuous-gate guard (review-2 catch): every oracle-gated query
+    whose docstring claims the Spark side runs the REAL engine must have a
+    _SPARK_OVERRIDES entry — otherwise spark_fn falls back to executing
+    the oracle SQL on both engines and the gate compares the oracle to
+    itself."""
+    from routers_spark import queries as Q
+
+    engine_gates = [
+        "maxspeed_parse", "map_match_exact", "map_match_exact_celljoin",
+        "dbscan_clusters", "mvt_point_tiles", "audio_window_features",
+        "image_features", "image_resize", "video_frame_sample",
+        "raster_pyramid_tiles", "ann_lsh_exact", "ann_ivf_exact",
+        "osm_pbf_way_expansion", "embedding_dedup",
+        "minhash_dedup_pipeline", "zone_bbox_lookup",
+    ]
+    missing = [n for n in engine_gates if n not in Q._SPARK_OVERRIDES]
+    assert not missing, missing
