@@ -45,6 +45,7 @@ HEADLINE_SQL = [
     "token_counts",
     "cell_count_rollup",
     "maxspeed_parse",
+    "access_parse",
     "map_match_exact",
     "map_match_exact_celljoin",
     "ann_lsh_exact",

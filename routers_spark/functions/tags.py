@@ -173,3 +173,53 @@ def parse_maxspeed_tags(tags_df: DataFrame) -> DataFrame:
 
     return tags_df.select("way_id", "key", "value").mapInPandas(
         gen, schema=MAXSPEED_SCHEMA)
+
+
+# access_tag/access.rs:25-60 — AccessValue strum strings (snake_case)
+ACCESS_VALUES = frozenset("""
+yes no private permissive designated discouraged customers destination
+agricultural forestry delivery military use_sidepath dismount permit
+unknown variable
+""".split())
+
+ACCESS_SCHEMA = "way_id long, mode string, direction string, value string"
+
+
+def parse_access_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """(way_id, key, value) rows → AccessTag rows (access.rs:94-105
+    from_key_value): the key MUST resolve to a transport mode
+    (parse_require_transport_mode — keys like ``building`` contribute
+    nothing), the value MUST be an AccessValue strum string, and the
+    directionality defaults to both-ways. Output directions use the
+    engine eval's convention (graph/access.py): ``both`` == the
+    reference's BothWays match-everything default."""
+    val = pdf["value"].fillna("")
+    keep = val.isin(list(ACCESS_VALUES)) & pdf["key"].notna()
+    df = pdf[keep].copy()
+    if not len(df):
+        return pd.DataFrame(columns=["way_id", "mode", "direction", "value"])
+    key_map = {k: parse_restriction(k) for k in df["key"].unique()}
+    df["mode"] = df["key"].map(lambda k: key_map[k][0])
+    df = df[df["mode"].notna()]
+    # eval-direction mapping: BothWays (default or explicit) is the
+    # match-everything 'both' in graph/access.py; the rust `Both` lane-axis
+    # variant matches NOTHING in accessible (mod.rs:212-218 `_ => false`),
+    # so it must NOT collide with 'both' — keep it distinct ('both_axis',
+    # skipped by the eval like left/right)
+    dir_map = {None: "both", "both_ways": "both", "both": "both_axis"}
+    df["direction"] = df["key"].map(
+        lambda k: dir_map.get(key_map[k][1], key_map[k][1]))
+    return df[["way_id", "mode", "direction", "value"]]
+
+
+def parse_access_tags(tags_df: DataFrame) -> DataFrame:
+    """Engine op: raw (way_id, key, value) tag rows → AccessTag rows in
+    one Arrow pass — the ingest side of the already-gated runtime
+    ``accessible`` evaluation (graph/access.py consumes exactly these
+    (mode, direction, value) triples)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield parse_access_pdf(pdf)
+
+    return tags_df.select("way_id", "key", "value").mapInPandas(
+        gen, schema=ACCESS_SCHEMA)

@@ -795,6 +795,71 @@ def _maxspeed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "condition", "transport_mode", "direction")
 
 
+_ACCESS_CASES_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS way_id,
+       CASE o_orderkey % 8
+         WHEN 0 THEN 'motor_vehicle'
+         WHEN 1 THEN 'bicycle'
+         WHEN 2 THEN 'access'
+         WHEN 3 THEN 'hgv:forward'
+         WHEN 4 THEN 'foot'
+         WHEN 5 THEN 'bicycle'
+         WHEN 6 THEN 'building'
+         ELSE 'vehicle:backward' END AS key,
+       CASE o_orderkey % 8
+         WHEN 0 THEN 'no'
+         WHEN 1 THEN 'destination'
+         WHEN 2 THEN 'private'
+         WHEN 3 THEN 'no'
+         WHEN 4 THEN 'designated'
+         WHEN 5 THEN 'sometimes'
+         WHEN 6 THEN 'yes'
+         ELSE 'delivery' END AS value
+FROM orders"""
+
+
+@sql_query("access_parse")
+def _q_access_parse_sql(dialect: str) -> str:
+    """OSM access-tag parsing (late r4 — completes the tag family with
+    maxspeed_parse; access_tag/access.rs:94-105 from_key_value): the
+    Spark side runs the REAL vectorized parser (functions/tags.py
+    parse_access_tags — key must resolve to a transport mode via the
+    restriction grammar, value must be an AccessValue strum string,
+    directionality defaults to the match-everything both-ways) over 8
+    fixture tag shapes; the oracle restates each shape's closed-form
+    parse. The OUTPUT feeds the already-gated runtime ``accessible``
+    evaluation (graph/access.py, access_eval) — together they close the
+    ingest→eval access lifecycle. Cases cover: plain mode keys, the
+    ``access`` top-level mode, directional sections, non-mode keys
+    (dropped) and invalid values (dropped)."""
+    return f"""
+WITH t AS ({_ACCESS_CASES_SQL}),
+out_rows AS (
+  SELECT way_id, 'motor_vehicle' AS mode, 'both' AS direction,
+         'no' AS value FROM t WHERE way_id % 8 = 0
+  UNION ALL
+  SELECT way_id, 'bicycle', 'both', 'destination' FROM t
+  WHERE way_id % 8 = 1
+  UNION ALL
+  SELECT way_id, 'access', 'both', 'private' FROM t WHERE way_id % 8 = 2
+  UNION ALL
+  SELECT way_id, 'hgv', 'forward', 'no' FROM t WHERE way_id % 8 = 3
+  UNION ALL
+  SELECT way_id, 'foot', 'both', 'designated' FROM t WHERE way_id % 8 = 4
+  UNION ALL
+  SELECT way_id, 'vehicle', 'backward', 'delivery' FROM t
+  WHERE way_id % 8 = 7
+)
+SELECT way_id, mode, direction, value FROM out_rows"""
+
+
+def _access_parse_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from routers_spark.functions.tags import parse_access_tags
+
+    register_views(spark, sf_dir)
+    return parse_access_tags(spark.sql(_ACCESS_CASES_SQL))
+
+
 @sql_query("dedup_exact_docs")
 def _q_dedup_exact(dialect: str) -> str:
     """Exact dedup on the documents table: canonical doc id per identical
@@ -2722,6 +2787,7 @@ _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_match_exact": _map_match_exact_spark,
     "map_match_exact_celljoin": _map_match_exact_celljoin_spark,
     "maxspeed_parse": _maxspeed_spark,
+    "access_parse": _access_parse_spark,
     "dbscan_clusters": _dbscan_spark,
     "mvt_point_tiles": _mvt_spark,
     "audio_window_features": _audio_windows_spark,
@@ -2760,8 +2826,12 @@ def spark_fn(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # shingle + int-exact-Jaccard machinery runs INSIDE the still-gated
 # minhash_dedup_pipeline (the inter/verified CTEs) and the kernels stay
 # pytest-gated (test_jaccard_behaviour, test_minhash_estimates_jaccard).
+# top_revenue_orders retired late-r4 for access_parse: it is a generic
+# TPC-H-style relational demo with no engine code on either side (the
+# relational-glue story keeps pricing_summary as its gated demo), while
+# access_parse is reference surface (access_tag/access.rs).
 _DRIVER_EXCLUDED = {"minhash_signature", "simhash64", "doc_fingerprint_md5",
-                    "ngram_jaccard_pairs"}
+                    "ngram_jaccard_pairs", "top_revenue_orders"}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

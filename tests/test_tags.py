@@ -126,3 +126,40 @@ def test_null_and_empty_values_are_safe():
     out = parse_maxspeed_pdf(pdf)
     assert list(out.way_id) == [0, 4, 4]
     assert list(out.kmh) == [50, 70, 30]
+
+
+def test_access_parse_reference_cases(spark):
+    """access.rs from_key_value doc cases + grammar rules, and the parse
+    output drives the already-tested runtime eval end-to-end."""
+    from routers_spark.functions.tags import (
+        parse_access_pdf,
+        parse_access_tags,
+    )
+    from routers_spark.graph.access import TripProfile, accessible
+
+    pdf = pd.DataFrame({
+        "way_id": range(8),
+        "key": ["bicycle", "motor_vehicle", "access", "hgv:forward",
+                "building", "bicycle", None, "vehicle:both_ways"],
+        "value": ["no", "destination", "private", "no", "yes",
+                  "sometimes", "yes", "delivery"],
+    })
+    out = parse_access_pdf(pdf)
+    got = {r.way_id: (r.mode, r.direction, r.value)
+           for r in out.itertuples()}
+    assert got[0] == ("bicycle", "both", "no")
+    assert got[1] == ("motor_vehicle", "both", "destination")
+    assert got[2] == ("access", "both", "private")
+    assert got[3] == ("hgv", "forward", "no")
+    assert got[7] == ("vehicle", "both", "delivery")
+    # non-mode key, invalid value, null key all contribute nothing
+    assert set(got) == {0, 1, 2, 3, 7}
+
+    # ingest → eval lifecycle: the parsed triples drive accessible()
+    tags = [got[1]]  # motor_vehicle=destination
+    assert not accessible(tags, TripProfile("motorcar"), fwd=True)
+    assert accessible(tags, TripProfile("foot"), fwd=True)
+
+    # Spark op shape
+    sdf = parse_access_tags(spark.createDataFrame(pdf)).toPandas()
+    assert len(sdf) == 5
