@@ -312,7 +312,19 @@ def candidates_cell_join(points_df: DataFrame, nodes_df: DataFrame,
     a JVM bbox prefilter reproduces the square-box scan (X4 semantics via
     the projection refinement below), then ONE Arrow pass projects and
     prices every surviving pair (X6 + M2). Unanchored points are preserved
-    via left join (edge_id = -1 rows).
+    as edge_id = -1 marker rows in BOTH miss classes: no cell-mates at all
+    (the left join's null row) AND cell-mates that all fail the bbox
+    refine (the reference's all-or-nothing contract, matcher/entity.rs:
+    143-193, needs the layer to EXIST so the solver can reject the trip).
+    The refine-fail marker is decided per Arrow batch — a point whose
+    admitted rows live in another batch gets a spurious marker, which is
+    inert by construction: every consumer builds candidate layers from
+    edge_row >= 0 rows only, so a marker alongside >= 1 admitted row
+    changes nothing, while a point with ZERO admitted rows anywhere keeps
+    at least one marker and yields the empty layer that triggers
+    unanchored. (A join-side left-anti marker would avoid the spurious
+    rows but re-executes the join lineage; the in-batch decision costs
+    <= 1 extra row per point per batch.)
 
     ``salt`` > 0 additionally splits hot cells: edges duplicate into
     ``salt`` sub-keys and each point picks one pseudo-randomly — the
@@ -369,13 +381,31 @@ def candidates_cell_join(points_df: DataFrame, nodes_df: DataFrame,
                 py[hit] = hy
                 dist[hit] = d
                 emis[hit] = costing.emission_cost_u32(d, emission_error).astype(np.int64)
-            keep = hit | miss
+            # refine-dropped markers: first fail row per (trip_id, seq)
+            # with no in-batch hit (spurious ones are inert — docstring)
+            marker = np.zeros(len(pdf), dtype=bool)
+            fail = ~miss & ~hit
+            if fail.any():
+                kdf = pd.DataFrame({"t": pdf["trip_id"].values,
+                                    "s": pdf["seq"].values, "h": hit})
+                no_hit = ~kdf.groupby(["t", "s"], sort=False)["h"] \
+                    .transform("max").values.astype(bool)
+                cand_idx = np.flatnonzero(fail & no_hit)
+                if len(cand_idx):
+                    dup = kdf.iloc[cand_idx].duplicated(["t", "s"]).values
+                    marker[cand_idx[~dup]] = True
+            unanchored = miss | marker
+            keep = hit | unanchored
             out = pd.DataFrame({
                 "trip_id": pdf["trip_id"].values,
                 "seq": pdf["seq"].values.astype("int32"),
                 "lon": lon, "lat": lat,
-                "edge_id": np.where(miss, -1, pdf["edge_id"].fillna(-1).values).astype(np.int64),
-                "edge_row": pdf["edge_row"].fillna(-1).values.astype(np.int64),
+                "edge_id": np.where(unanchored, -1,
+                                    pdf["edge_id"].fillna(-1).values).astype(np.int64),
+                "edge_row": np.where(marker, -1,
+                                     pdf["edge_row"].fillna(-1).values).astype(np.int64),
+                # frac/px/py/dist are NaN and emission -1 on every ~hit
+                # row already, markers included
                 "frac": frac, "px": px, "py": py, "dist_m": dist,
                 "emission": emis,
             })

@@ -172,3 +172,72 @@ def test_celljoin_solve_salt_matches(spark, inputs):
     b = _sorted(match_trips(points_df, nodes_df, edges_df,
                             candidate_path="celljoin", solve_salt=3))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_celljoin_near_miss_unanchored_parity(spark):
+    """Round-4 verdict #1 regression: a point whose cell-joined edges ALL
+    fail the bbox refine (same 0.002-deg cell, outside the 50 m box) must
+    surface as an EMPTY candidate layer, so the all-or-nothing contract
+    (matcher/entity.rs:143-193) rejects the whole trip on the celljoin
+    path exactly as on broadcast — not silently solve the shortened trip."""
+    nodes = pd.DataFrame({"node_id": [1, 2],
+                          "lon": [-118.500, -118.499],
+                          "lat": [33.0, 33.0]})
+    edges = pd.DataFrame({"edge_id": [10], "src": [1], "dst": [2],
+                          "weight": [9300]})
+    # point 0 is on the edge; point 1 is ~100 m north — inside the same
+    # coarse cell (so the cell join pairs it) but outside the 50 m square
+    pts = pd.DataFrame({"trip_id": ["t", "t"], "seq": [0, 1],
+                        "lon": [-118.4995, -118.4995],
+                        "lat": [33.00001, 33.0009]})
+    points_df = spark.createDataFrame(pts)
+    nodes_df = spark.createDataFrame(nodes)
+    edges_df = spark.createDataFrame(edges)
+    a = match_trips(points_df, nodes_df, edges_df,
+                    candidate_path="broadcast").toPandas()
+    b = match_trips(points_df, nodes_df, edges_df,
+                    candidate_path="celljoin").toPandas()
+    assert list(a["status"]) == ["unanchored"]
+    assert list(b["status"]) == ["unanchored"]
+    pd.testing.assert_frame_equal(_sorted(spark.createDataFrame(a)),
+                                  _sorted(spark.createDataFrame(b)))
+
+
+def test_celljoin_outlier_property_sweep(spark):
+    """Round-5 robustness sweep (verdict Next #5): 100 random trips over a
+    sparse grid, a third of them carrying injected GPS outliers (points
+    moved to cell centres ~90-110 m from any edge — near-miss refine
+    drops), plus trips fully off-network. Broadcast and celljoin must
+    agree row-for-row INCLUDING statuses."""
+    nodes, edges = grid_network(12)
+    trips = walk_trips(nodes, edges, n_trips=100, points_per_trip=8,
+                       seed=505)
+    rng = np.random.default_rng(77)
+    # outliers: push one point per selected trip to a grid-cell centre
+    # (0.001 deg diagonal offset = ~92-111 m from every edge, > 50 m box,
+    # same/adjacent coarse cell -> exercises the refine-drop path)
+    tids = trips["trip_id"].unique()
+    for t in rng.choice(tids, size=33, replace=False):
+        rows = np.flatnonzero((trips["trip_id"] == t).values)
+        r = rows[rng.integers(0, len(rows))]
+        trips.loc[r, "lon"] = round(
+            (trips.loc[r, "lon"] + 118.5) / 0.002) * 0.002 - 118.5 + 0.001
+        trips.loc[r, "lat"] = round(
+            (trips.loc[r, "lat"] - 33.7) / 0.002) * 0.002 + 33.7 + 0.001
+    # two trips fully off-network (~1 km east of the grid)
+    off = trips[trips["trip_id"].isin(tids[:2])].copy()
+    off["trip_id"] = off["trip_id"] + "_off"
+    off["lon"] = off["lon"] + 0.05
+    trips = pd.concat([trips, off], ignore_index=True)
+
+    points_df = spark.createDataFrame(trips)
+    nodes_df = spark.createDataFrame(nodes)
+    edges_df = spark.createDataFrame(edges)
+    a = _sorted(match_trips(points_df, nodes_df, edges_df,
+                            candidate_path="broadcast"))
+    b = _sorted(match_trips(points_df, nodes_df, edges_df,
+                            candidate_path="celljoin"))
+    # the sweep must actually exercise every status class
+    assert (a["status"] == "unanchored").any()
+    assert (a["status"] == "matched").any()
+    pd.testing.assert_frame_equal(a, b)
