@@ -101,14 +101,24 @@ def main() -> None:
     Q.register_views(spark, sf_dir)
     spark.sql("SELECT COUNT(*) FROM events").collect()
 
+    # best-of-N per query (default 2): this host has documented ±30%
+    # (observed up to ~15x) same-code noise windows — a single-shot record
+    # fabricates regressions (round-4 verdict #2). Each rep rebuilds the
+    # plan from scratch; min-of-reps is the noise floor, not a cache
+    # artifact (the persist is dropped between reps).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     for name in HEADLINE_SQL + HEADLINE_ENGINE:
         fn = qs[name]
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        build = time.perf_counter() - t0
-        dt, n = run_full(df)
-        timings[name] = round(build + dt, 3)
+        best = float("inf")
+        n = 0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            build = time.perf_counter() - t0
+            dt, n = run_full(df)
+            best = min(best, build + dt)
+        timings[name] = round(best, 3)
         rows[name] = n
         print(f"[bench] {name}: {timings[name]}s {n} rows",
               file=sys.stderr, flush=True)
@@ -123,6 +133,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_dir,
         "cpus": cpus,
+        "reps": reps,
         "north_star_rows_per_sec": round(north_rows / max(north_sec, 1e-9), 1),
     }
     # full detail (incl. row counts) goes to a sidecar + stderr so the
