@@ -1684,18 +1684,47 @@ def _q_map_match_exact(dialect: str) -> str:
     the identical IEEE expression below, horizontal segments make the
     lat term exactly 0). A hash mismatch anywhere in box admit, candidate
     projection, emission, trellis assembly, Viterbi, or collapse fails
-    the gate."""
+    the gate.
+
+    WIDENED r5 (round-4 verdict Next #3) to also gate M16 interpolated
+    ``RoutedPath`` output (candidate/route.rs:46-141) through the same
+    facade run: kind='matched' rows carry the discretized (seq, frac);
+    kind='edge_source'/'candidate' rows carry the interpolated element
+    sequence (elem order, kinds, per-element edge, lon/lat). On the
+    corridor every trip stays on ONE edge with monotone frac, so every
+    hop resolves 'direct' (entry.rs:92-106) and the element sequence is
+    closed-form: edge_source(a) then the 10 projected candidates, no
+    consecutive-dedup collisions. Element lon/lat are gated at 4 decimals
+    (the 1e-4 grid the fixture sits ON): the engine projects along the
+    great circle, whose bulge over a 0.1-deg horizontal edge at lat 33-34
+    is <= 1.0e-5 deg (lat) / 1.5e-9 deg (lon) — >= 5x inside the
+    half-cell, so round() restates the planar closed form exactly while a
+    wrong element order, kind, edge, or a 0.01-deg frac slip (100 cells)
+    still flips the hash."""
     ax, bx = _MME_AX, _MME_BX
     ay = f"({_MME_LAT0} + CAST(road AS DOUBLE) * {_MME_DY})"
     num = (f"((lon - {ax}) * ({bx} - {ax})"
            f" + (lat - {ay}) * ({ay} - {ay}))")
     den = (f"(({bx} - {ax}) * ({bx} - {ax})"
            f" + ({ay} - {ay}) * ({ay} - {ay}))")
+    frac = f"least(greatest({num} / {den}, 0.0e0), 1.0e0)"
     return f"""
 WITH pts AS ({_mme_points_sql()})
-SELECT trip_id, seq,
+SELECT trip_id, CAST(seq AS INT) AS idx, 'matched' AS kind,
        CAST(road AS BIGINT) AS edge_id,
-       round(least(greatest({num} / {den}, 0.0e0), 1.0e0), 9) AS frac
+       round({frac}, 9) AS frac,
+       CAST(NULL AS DOUBLE) AS plon, CAST(NULL AS DOUBLE) AS plat
+FROM pts
+UNION ALL
+SELECT trip_id, 0 AS idx, 'edge_source' AS kind,
+       CAST(road AS BIGINT) AS edge_id, CAST(NULL AS DOUBLE) AS frac,
+       round({ax}, 4) AS plon, round({ay}, 4) AS plat
+FROM (SELECT DISTINCT trip_id, road FROM pts) t
+UNION ALL
+SELECT trip_id, CAST(seq + 1 AS INT) AS idx, 'candidate' AS kind,
+       CAST(road AS BIGINT) AS edge_id, CAST(NULL AS DOUBLE) AS frac,
+       round({ax} + {frac} * ({bx} - {ax}), 4) AS plon,
+       round({ay}, 4) AS plat
 FROM pts"""
 
 
@@ -1722,12 +1751,27 @@ def _mme_run(spark: SparkSession, sf_dir: str,
     })
     edges = pd.DataFrame({"edge_id": r, "src": 2 * r, "dst": 2 * r + 1,
                           "weight": np.full(_MME_ROADS, 10, dtype=np.int64)})
-    out = match_trips(points, spark.createDataFrame(nodes),
-                      spark.createDataFrame(edges),
-                      candidate_path=candidate_path)
-    return (out.filter(F.col("status") == "matched")
-            .select("trip_id", "seq", "edge_id",
-                    F.round("frac", 9).alias("frac")))
+    nodes_df = spark.createDataFrame(nodes)
+    edges_df = spark.createDataFrame(edges)
+    disc = match_trips(points, nodes_df, edges_df,
+                       candidate_path=candidate_path)
+    interp = match_trips(points, nodes_df, edges_df,
+                         candidate_path=candidate_path,
+                         output="interpolated")
+    null_d = F.lit(None).cast("double")
+    return (
+        disc.filter(F.col("status") == "matched")
+        .select("trip_id", F.col("seq").alias("idx"),
+                F.lit("matched").alias("kind"), "edge_id",
+                F.round("frac", 9).alias("frac"),
+                null_d.alias("plon"), null_d.alias("plat"))
+        .unionByName(
+            interp.filter(F.col("status") == "matched")
+            .select("trip_id", F.col("elem").alias("idx"), "kind", "edge_id",
+                    null_d.alias("frac"),
+                    F.round("lon", 4).alias("plon"),
+                    F.round("lat", 4).alias("plat")))
+    )
 
 
 def _map_match_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1766,10 +1810,11 @@ def _q_map_match_exact_celljoin(dialect: str) -> str:
     cell-cover candidate join, pinned-quantile edge rank, per-trip
     subgraph cogroup; the global graph is never collected or broadcast.
     Together with map_match_exact this puts BOTH candidate paths of the
-    flagship facade under hash gates. (This row took the registry slot of
-    the rows-only interpolated variant, whose M16 RoutedPath semantics
-    stay pytest-gated — tests/test_matching_spark.py
-    test_match_trips_interpolated plus the frozen matched-edge goldens.)"""
+    flagship facade under hash gates — and since r5's widening both rows
+    ALSO hash M16 interpolated RoutedPath output (elem order, kinds,
+    per-element edge, 4-decimal lon/lat) through their respective
+    candidate paths, so the interpolated variant that lost its registry
+    slot in r4 is driver-gated again without spending one."""
     return _q_map_match_exact(dialect)
 
 
