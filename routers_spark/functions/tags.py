@@ -66,25 +66,19 @@ MAXSPEED_SCHEMA = (
 
 
 def parse_restriction(key: str) -> tuple[str | None, str | None]:
-    """(transport_mode, directionality) from a maxspeed key's sections —
-    each ``:`` section resolves independently, first hit wins."""
+    """(transport_mode, directionality) from a key's ``:`` sections —
+    each section resolves independently via the strum sets, first hit
+    wins (restriction.rs:52-66 parse_builder folds over split(':')).
+    Two-token strum modes like ``ski:nordic`` are therefore UNREACHABLE
+    from key parsing — a section never contains ':' — so
+    ``maxspeed:ski:nordic`` yields mode 'ski', exactly as the reference
+    (those tokens exist for whole-label from_str contexts only)."""
     mode = direction = None
-    sections = key.split(":")
-    # ski:nordic-style two-section modes are single strum tokens — rejoin
-    # adjacent sections before single-section checks
-    i = 0
-    while i < len(sections):
-        two = ":".join(sections[i:i + 2]) if i + 1 < len(sections) else None
-        if two in TRANSPORT_MODES and mode is None:
-            mode = two
-            i += 2
-            continue
-        s = sections[i]
+    for s in key.split(":"):
         if mode is None and s in TRANSPORT_MODES:
             mode = s
         if direction is None and s in DIRECTIONALITIES:
             direction = s
-        i += 1
     return mode, direction
 
 

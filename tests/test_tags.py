@@ -88,10 +88,11 @@ def test_lanes_split_terminator_semantics():
 def test_restriction_key_grammar():
     assert parse_restriction("maxspeed") == (None, None)
     assert parse_restriction("maxspeed:bus:forward") == ("bus", "forward")
-    # two-token strum modes
-    assert parse_restriction("maxspeed:ski:nordic") == ("ski:nordic", None)
-    assert parse_restriction("maxspeed:hazmat:water") == ("hazmat:water",
-                                                         None)
+    # two-token strum modes are UNREACHABLE from key parsing: the
+    # reference folds over split(':'), so a section never contains ':'
+    # (restriction.rs:52-66) — 'ski'/'hazmat' match first
+    assert parse_restriction("maxspeed:ski:nordic") == ("ski", None)
+    assert parse_restriction("maxspeed:hazmat:water") == ("hazmat", None)
 
 
 def test_non_maxspeed_keys_ignored_and_spark_op(spark):
