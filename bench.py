@@ -37,7 +37,6 @@ HEADLINE_SQL = [
     "zone_assign_cells",
     "zone_bbox_lookup",
     "access_eval",
-    "way_edge_expansion",
     "osm_pbf_way_expansion",
     "tile_range_scan",
     "geo_route_assign",
@@ -46,6 +45,7 @@ HEADLINE_SQL = [
     "cell_count_rollup",
     "maxspeed_parse",
     "access_parse",
+    "opening_hours_parse",
     "map_match_exact",
     "map_match_exact_celljoin",
     "ann_lsh_exact",

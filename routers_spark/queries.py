@@ -860,6 +860,110 @@ def _access_parse_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_access_tags(spark.sql(_ACCESS_CASES_SQL))
 
 
+# 12 opening-hours value shapes (dialect-shared text). The variation term
+# uses % 7 (coprime to the % 12 shape selector, so it actually varies
+# within a shape).
+_HOURS_CASES_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS id,
+       CASE o_orderkey % 12
+         WHEN 0 THEN '24/7'
+         WHEN 1 THEN 'Mo-Fr ' || CAST(6 + o_orderkey % 7 AS STRING)
+                     || ':00-' || CAST(16 + o_orderkey % 7 AS STRING)
+                     || ':00'
+         WHEN 2 THEN 'Mo-Fr 07:00-9:00,16:00-20:00'
+         WHEN 3 THEN 'Sa 10:30-14:15; closed'
+         WHEN 4 THEN 'Mo,We,Fr 08:30-17:30'
+         WHEN 5 THEN '23:15'
+         WHEN 6 THEN 'Tu-Fr 00:00-24:00'
+         WHEN 7 THEN 'winter'
+         WHEN 8 THEN 'Mo-Fr 25:00-26:00'
+         WHEN 9 THEN 'monday 09:00-17:00'
+         WHEN 10 THEN 'Mo-Fr 9-17'
+         ELSE '8:00' END AS value
+FROM orders"""
+
+
+@sql_query("opening_hours_parse")
+def _q_opening_hours_sql(dialect: str) -> str:
+    """OSM opening-hours parsing (NEW r5, round-4 verdict Next #4 — the
+    last big tag-parser surface, opening_hours.rs:1-426): the Spark side
+    runs the REAL parser (functions/hours.py — 24/7 special, ';' rule
+    split with whole-parse failure, closed/off, the latching time scan,
+    find_map weekday selection, range/list/single day grammar with full
+    names, one-hour time points with the 23→0 wrap, hour-24 bound) over
+    12 fixture value shapes; the oracle restates each shape's closed-form
+    flattened rows. Failure shapes ('winter', hour 25) pin the ok=false
+    contract; 'Mo-Fr 9-17' pins the skipped-weekday-part/weekday-only
+    rule; 'Sa …; closed' pins multi-rule + closed."""
+    h1 = "CAST(6 + id % 7 AS INT)"
+    h2 = "CAST(16 + id % 7 AS INT)"
+    ni = "CAST(NULL AS INT)"
+    ns = "CAST(NULL AS STRING)"
+    return f"""
+WITH t AS ({_HOURS_CASES_SQL}),
+out_rows AS (
+  SELECT id, 1 AS ok, 0 AS rule, 0 AS closed, {ns} AS wd_kind,
+         {ns} AS weekdays, 0 AS tr, 0 AS start_h, 0 AS start_m,
+         23 AS end_h, 59 AS end_m
+  FROM t WHERE id % 12 = 0
+  UNION ALL
+  SELECT id, 1, 0, 0, 'range', 'Mo-Fr', 0, {h1}, 0, {h2}, 0
+  FROM t WHERE id % 12 = 1
+  UNION ALL
+  SELECT id, 1, 0, 0, 'range', 'Mo-Fr', 0, 7, 0, 9, 0
+  FROM t WHERE id % 12 = 2
+  UNION ALL
+  SELECT id, 1, 0, 0, 'range', 'Mo-Fr', 1, 16, 0, 20, 0
+  FROM t WHERE id % 12 = 2
+  UNION ALL
+  SELECT id, 1, 0, 0, 'single', 'Sa', 0, 10, 30, 14, 15
+  FROM t WHERE id % 12 = 3
+  UNION ALL
+  SELECT id, 1, 1, 1, {ns}, {ns}, -1, {ni}, {ni}, {ni}, {ni}
+  FROM t WHERE id % 12 = 3
+  UNION ALL
+  SELECT id, 1, 0, 0, 'list', 'Mo,We,Fr', 0, 8, 30, 17, 30
+  FROM t WHERE id % 12 = 4
+  UNION ALL
+  SELECT id, 1, 0, 0, {ns}, {ns}, 0, 23, 15, 0, 15
+  FROM t WHERE id % 12 = 5
+  UNION ALL
+  SELECT id, 1, 0, 0, 'range', 'Tu-Fr', 0, 0, 0, 24, 0
+  FROM t WHERE id % 12 = 6
+  UNION ALL
+  SELECT id, 0, -1, {ni}, {ns}, {ns}, -1, {ni}, {ni}, {ni}, {ni}
+  FROM t WHERE id % 12 = 7 OR id % 12 = 8
+  UNION ALL
+  SELECT id, 1, 0, 0, 'single', 'Mo', 0, 9, 0, 17, 0
+  FROM t WHERE id % 12 = 9
+  UNION ALL
+  SELECT id, 1, 0, 0, 'range', 'Mo-Fr', -1, {ni}, {ni}, {ni}, {ni}
+  FROM t WHERE id % 12 = 10
+  UNION ALL
+  SELECT id, 1, 0, 0, {ns}, {ns}, 0, 8, 0, 9, 0
+  FROM t WHERE id % 12 = 11
+)
+SELECT id, CAST(ok AS INT) AS ok, CAST(rule AS INT) AS rule,
+       CAST(closed AS INT) AS closed, wd_kind, weekdays,
+       CAST(tr AS INT) AS tr, CAST(start_h AS INT) AS start_h,
+       CAST(start_m AS INT) AS start_m, CAST(end_h AS INT) AS end_h,
+       CAST(end_m AS INT) AS end_m
+FROM out_rows"""
+
+
+def _opening_hours_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from routers_spark.functions.hours import parse_opening_hours_tags
+
+    register_views(spark, sf_dir)
+    out = parse_opening_hours_tags(spark.sql(_HOURS_CASES_SQL))
+    return out.select(
+        "id", F.col("ok").cast("int").alias("ok"), "rule",
+        F.col("closed").cast("int").alias("closed"), "wd_kind", "weekdays",
+        "tr", "start_h", "start_m", "end_h", "end_m")
+
+
 @sql_query("dedup_exact_docs")
 def _q_dedup_exact(dialect: str) -> str:
     """Exact dedup on the documents table: canonical doc id per identical
@@ -2833,6 +2937,7 @@ _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_match_exact_celljoin": _map_match_exact_celljoin_spark,
     "maxspeed_parse": _maxspeed_spark,
     "access_parse": _access_parse_spark,
+    "opening_hours_parse": _opening_hours_spark,
     "dbscan_clusters": _dbscan_spark,
     "mvt_point_tiles": _mvt_spark,
     "audio_window_features": _audio_windows_spark,
@@ -2875,8 +2980,25 @@ def spark_fn(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # TPC-H-style relational demo with no engine code on either side (the
 # relational-glue story keeps pricing_summary as its gated demo), while
 # access_parse is reference surface (access_tag/access.rs).
+# way_edge_expansion retired r5 for opening_hours_parse: its ENTIRE gate
+# (the same derived corpus through the same windowed-SQL oracle, Spark
+# running the same engine expansion) runs INSIDE the still-registered
+# osm_pbf_way_expansion — which additionally pushes the corpus through
+# the PBF encode→decode wire cycle, so the retained row is strictly
+# stronger. The pure expansion stays in sql_queries() for dialect-parity
+# pytest and as an importable operator.
+#
+# REGISTRY TRUNCATION PRIORITY (round-4 verdict Next #8): if a future
+# driver truncates past 50 again, retire in THIS order — rows whose gate
+# is strongest elsewhere first:
+#   1. ann_ivf_topk / ann_lsh_topk   (rows-only; exact twins are gated)
+#   2. map_match_discretized / map_match_celljoin (rows-only perf rows;
+#      map_match_exact[_celljoin] gate the same facade paths)
+#   3. anything in this excluded set being temporarily restored.
+# queries() already orders the dict so these sit at the tail.
 _DRIVER_EXCLUDED = {"minhash_signature", "simhash64", "doc_fingerprint_md5",
-                    "ngram_jaccard_pairs", "top_revenue_orders"}
+                    "ngram_jaccard_pairs", "top_revenue_orders",
+                    "way_edge_expansion"}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -172,7 +172,7 @@ def test_engine_gates_run_the_engine():
     from routers_spark import queries as Q
 
     engine_gates = [
-        "maxspeed_parse", "access_parse",
+        "maxspeed_parse", "access_parse", "opening_hours_parse",
         "map_match_exact", "map_match_exact_celljoin",
         "dbscan_clusters", "mvt_point_tiles", "audio_window_features",
         "image_features", "image_resize", "video_frame_sample",
