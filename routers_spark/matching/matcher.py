@@ -650,7 +650,12 @@ def _solve_cogroup_pdf(cand_pdf: pd.DataFrame, edges_pdf: pd.DataFrame,
     per-shard-matcher economics of the reference (bin/matcher.rs:48-55).
     R6 analog: a candidate edge missing from the subgraph (impossible when
     the padding covers the bound; defensive for skew in the equirectangular
-    pad) is dropped — it could never carry a transition."""
+    pad) is DOWNGRADED to an edge_row=-1 marker, never silently removed —
+    removal could empty a seq's row set and shorten the trip (the
+    round-4 celljoin refine-drop bug class); a marker instead yields an
+    empty layer and the all-or-nothing unanchored rejection, while
+    markers alongside surviving candidates are inert (layers are built
+    from edge_row >= 0 rows only)."""
     if len(cand_pdf) == 0:
         # schema-typed empty frame
         return _status_row("", "unanchored", output).iloc[0:0]
@@ -682,11 +687,7 @@ def _solve_cogroup_pdf(cand_pdf: pd.DataFrame, edges_pdf: pd.DataFrame,
         present = ((cr >= 0) & (pos < len(global_rows))
                    & (global_rows[pos_c] == cr))
         tp["edge_row"] = np.where(present, pos_c, -1)
-        tp = tp[present | (cr < 0)]
-        if len(tp) == 0:
-            outs.append(_status_row(trip_id, "unanchored", output))
-        else:
-            outs.append(_solve_candidates_pdf(tp, g, opts, output))
+        outs.append(_solve_candidates_pdf(tp, g, opts, output))
     return pd.concat(outs, ignore_index=True)
 
 

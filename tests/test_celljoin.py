@@ -241,3 +241,36 @@ def test_celljoin_outlier_property_sweep(spark):
     assert (a["status"] == "unanchored").any()
     assert (a["status"] == "matched").any()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_celljoin_high_latitude_parity_sweep(spark):
+    """High-latitude variant of the sweep (verdict Next #5): at lat 64 a
+    degree of longitude is ~49 km (cos-lat 0.44), so the equirectangular
+    pad in sig_subgraph_edges (matcher.py, cos-lat from edge endpoints)
+    and the square-box refine both run far from their small-angle comfort
+    zone. 40 trips with injected near-miss outliers; broadcast ≡ celljoin
+    row-for-row including statuses."""
+    nodes, edges = grid_network(10, lat0=64.0, lon0=17.0)
+    trips = walk_trips(nodes, edges, n_trips=40, points_per_trip=8,
+                       seed=909)
+    rng = np.random.default_rng(11)
+    tids = trips["trip_id"].unique()
+    for t in rng.choice(tids, size=13, replace=False):
+        rows = np.flatnonzero((trips["trip_id"] == t).values)
+        r = rows[rng.integers(0, len(rows))]
+        # push the point to a cell centre: at lat 64 the lon offset is
+        # only ~49 m east but the lat offset keeps it >50 m from the
+        # lattice -> near-miss refine drop, same coarse cell
+        trips.loc[r, "lon"] = round(
+            (trips.loc[r, "lon"] - 17.0) / 0.002) * 0.002 + 17.0 + 0.001
+        trips.loc[r, "lat"] = round(
+            (trips.loc[r, "lat"] - 64.0) / 0.002) * 0.002 + 64.0 + 0.001
+    points_df = spark.createDataFrame(trips)
+    nodes_df = spark.createDataFrame(nodes)
+    edges_df = spark.createDataFrame(edges)
+    a = _sorted(match_trips(points_df, nodes_df, edges_df,
+                            candidate_path="broadcast"))
+    b = _sorted(match_trips(points_df, nodes_df, edges_df,
+                            candidate_path="celljoin"))
+    assert (a["status"] == "matched").any()
+    pd.testing.assert_frame_equal(a, b)
