@@ -490,19 +490,25 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
         spark = points_df.sparkSession
         # Guard the driver collect: a graph past the broadcast envelope must
         # go through the distributed celljoin path, not OOM the driver. The
-        # probe is an early-terminating limit+count, not a full scan — and
-        # it covers BOTH collected tables (a sparse network can have few
-        # edges but an enormous nodes table).
-        if broadcast_limit_rows is not None:
-            for side, df_side in (("edges", edges_df), ("nodes", nodes_df)):
-                probe = df_side.limit(broadcast_limit_rows + 1).count()
-                if probe > broadcast_limit_rows:
-                    raise ValueError(
-                        f"match_trips: {side} table exceeds "
-                        f"broadcast_limit_rows={broadcast_limit_rows}; use "
-                        f"candidate_path='celljoin' (the no-broadcast scale "
-                        f"path) or raise the limit.")
-        g = build_packed_graph(nodes_df.toPandas(), edges_df.toPandas())
+        # probe and the collect are ONE job per side — limit(N+1).toPandas()
+        # early-terminates past the envelope and doubles as the collect
+        # under it, so expensive upstream lineage executes once, not three
+        # times (probe-count ×2 + toPandas). Covers BOTH tables (a sparse
+        # network can have few edges but an enormous nodes table).
+        def _collect_bounded(df_side, side):
+            if broadcast_limit_rows is None:
+                return df_side.toPandas()
+            pdf = df_side.limit(broadcast_limit_rows + 1).toPandas()
+            if len(pdf) > broadcast_limit_rows:
+                raise ValueError(
+                    f"match_trips: {side} table exceeds "
+                    f"broadcast_limit_rows={broadcast_limit_rows}; use "
+                    f"candidate_path='celljoin' (the no-broadcast scale "
+                    f"path) or raise the limit.")
+            return pdf
+
+        g = build_packed_graph(_collect_bounded(nodes_df, "nodes"),
+                               _collect_bounded(edges_df, "edges"))
         bc = spark.sparkContext.broadcast(g.to_broadcastable())
         bc_key = uuid.uuid4().hex
         n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)

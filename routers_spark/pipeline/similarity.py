@@ -184,13 +184,18 @@ def embedding_dedup(corpus_df: DataFrame, threshold: float = 0.95,
                     n_planes: int = 8, n_tables: int = 4,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    bucket_cap: int | None = 10_000) -> DataFrame:
+                    bucket_cap: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate detection: the (table, bucket) LSH
     index SELF-joins (vectors sharing any bucket become candidate pairs —
     never all-pairs, hot buckets salt-split under ``bucket_cap``), an
     Arrow pass verifies exact cosine ≥ threshold, and connected components
     assign canonical ids (chains collapse, same as minhash_dedup).
-    Output: (doc_id, canonical_id) for every corpus row."""
+    Output: (doc_id, canonical_id) for every corpus row.
+
+    ``bucket_cap`` defaults to None (full within-bucket recall): the
+    salt-split cap is a RECALL tradeoff — pairs split across salt
+    sub-buckets are forgone — so callers opt in at scale (the bench/scale
+    jobs pass 10_000) rather than silently losing duplicates by default."""
     from routers_spark.pipeline.dedup import connected_canonical_ids
 
     head = corpus_df.select(vec_col).first()

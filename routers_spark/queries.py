@@ -1437,18 +1437,54 @@ def _q_pbf_way_edges(dialect: str) -> str:
 
 def _pbf_fixture_path(sf_dir: str) -> str:
     """Cross-process cache path for the synthesized PBF oracle fixture:
-    keyed by corpus path + the lineitem parquet's stat token, so a
-    regenerated corpus (new size/mtime) invalidates it. The stat runs on
-    EVERY call — no in-process memo to go stale."""
+    keyed by corpus path + the lineitem parquet's stat token (a
+    regenerated corpus invalidates it) + a writer-format fingerprint
+    hashed from the codec module's source (a writer change invalidates it
+    without a hand-bumped version). Files live under a per-user mode-0700
+    subdirectory of the temp root, so a foreign user on a shared host can
+    neither plant nor read a fixture. The stat runs on EVERY call — no
+    in-process memo to go stale."""
     import hashlib
     import os
     import tempfile
 
+    from routers_spark.io import osm_pbf as _codec
+
+    with open(_codec.__file__, "rb") as fh:
+        fmt = hashlib.sha1(fh.read()).hexdigest()[:12]
     st = os.stat(f"{sf_dir}/lineitem.parquet")
     token = hashlib.sha1(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()
-    return os.path.join(tempfile.gettempdir(),
-                        f"routers_pbf_{token}.osm.pbf")
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{fmt}".encode()).hexdigest()
+    base = os.path.join(tempfile.gettempdir(),
+                        f"routers_pbf_u{os.getuid()}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    bst = os.stat(base)
+    if bst.st_uid != os.getuid() or (bst.st_mode & 0o077):
+        raise RuntimeError(
+            f"PBF fixture dir {base} is not a private directory owned by "
+            f"uid {os.getuid()} (mode {oct(bst.st_mode & 0o777)}, uid "
+            f"{bst.st_uid}); refusing to trust cached fixtures there.")
+    return os.path.join(base, f"{token}.osm.pbf")
+
+
+def _pbf_fixture_valid(path: str) -> bool:
+    """Cheap pre-trust validation of a cached fixture: the file must open
+    with a spec-shaped blob framing — 4-byte big-endian BlobHeader length
+    (sane bound) and an OSMHeader type string inside the first blob header
+    bytes. A truncated, foreign, or stale-format file fails and is
+    rewritten rather than fed to the oracle gate."""
+    import os
+
+    try:
+        if os.path.getsize(path) < 16:
+            return False
+        with open(path, "rb") as fh:
+            hdr_len = int.from_bytes(fh.read(4), "big")
+            if not 0 < hdr_len < 64 * 1024:
+                return False
+            return b"OSMHeader" in fh.read(hdr_len)
+    except OSError:
+        return False
 
 
 def _pbf_way_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1467,7 +1503,7 @@ def _pbf_way_edges_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file cross-process so repeated gate/bench runs measure the
     # distributed DECODE path only (stat-token key: _pbf_fixture_path).
     path = _pbf_fixture_path(sf_dir)
-    if os.path.exists(path):
+    if os.path.exists(path) and _pbf_fixture_valid(path):
         _, edges = osm_pbf_to_graph(spark, path)
         return edges.select(
             F.col("edge_id").cast("long").alias("edge_id"),

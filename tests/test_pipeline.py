@@ -383,7 +383,8 @@ def test_lsh_bucket_cap_bounds_hot_bucket_pairs(spark):
     assert capped <= n_hot * cap  # vs 7140 uncapped; generous slack
     assert capped < uncapped / 3
 
-    # cap leaves a well-behaved corpus untouched (default cap is high)
+    # an opt-in cap leaves a well-behaved corpus untouched (the default
+    # is None = full recall; scale callers pass an explicit cap)
     base = rng.normal(size=(30, dim))
     rows2 = [(i, (b / np.linalg.norm(b)).astype("float32").tolist())
              for i, b in enumerate(base)]
@@ -393,7 +394,8 @@ def test_lsh_bucket_cap_bounds_hot_bucket_pairs(spark):
                  embedding_dedup(emb2, threshold=0.999,
                                  bucket_cap=None).collect()}
     out_cap = {r.doc_id: r.canonical_id for r in
-               embedding_dedup(emb2, threshold=0.999).collect()}
+               embedding_dedup(emb2, threshold=0.999,
+                               bucket_cap=10_000).collect()}
     assert out_cap == out_nocap and out_cap[500] == 0
 
 
