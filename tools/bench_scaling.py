@@ -20,6 +20,38 @@ import subprocess
 import sys
 
 
+def _spin(spin_sec: float) -> int:
+    # module-level: multiprocessing must pickle the worker fn
+    import time
+
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < spin_sec:
+        for _ in range(10000):
+            n += 1
+    return n
+
+
+def cpu_ceiling(spin_sec: float = 3.0) -> dict:
+    """Same-window hardware calibration: pure-ALU spin (multiprocessing,
+    no Spark, no memory pressure) at 8 and 32 workers. On a VM whose
+    hypervisor can't actually deliver 32 concurrent cores, THIS ratio —
+    not any Spark code path — bounds every 8->32 efficiency measured in
+    the window (r5 measured the box itself at 0.72-0.81 on a session
+    where the guest topology claimed 32 dedicated cores). Report raw
+    suite efficiency next to this ceiling; never silently normalize."""
+    import multiprocessing as mp
+
+    agg = {}
+    for workers in (8, 32):
+        with mp.Pool(workers) as p:
+            agg[workers] = sum(p.map(_spin, [spin_sec] * workers))
+    return {
+        "spin_agg_8": agg[8], "spin_agg_32": agg[32],
+        "cpu_ceiling_8_to_32": round(agg[32] / agg[8] / 4.0, 3),
+    }
+
+
 def run_level(cpus: int, sf_dir: str, n_trips: int, n_tile: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
@@ -41,6 +73,7 @@ def main() -> None:
     # 0.64 -> 0.75 from 30k -> 60k with the same code
     n_trips = int(sys.argv[3]) if len(sys.argv) > 3 else 60000
     n_tile = int(sys.argv[4]) if len(sys.argv) > 4 else 64_000_000
+    ceil = cpu_ceiling()
     r8 = run_level(8, sf_dir, n_trips, n_tile)
     r32 = run_level(32, sf_dir, n_trips, n_tile)
     effs = {
@@ -56,6 +89,7 @@ def main() -> None:
         "local32": r32,
         "per_stage_efficiency": effs,
         "overall_efficiency": round((t8 / t32) / 4.0, 3),
+        "cpu_calibration": ceil,
     }
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
