@@ -25,6 +25,7 @@ HEADLINE_SQL = [
     "tile_hilbert_key",
     "cell_encode_geohash",
     "cell_encode_quadkey",
+    "cell_encode_s2",
     "tile_pyramid_rollup",
     "spatial_cell_join",
     "knn_nearest_station",

@@ -365,3 +365,107 @@ def hilbert_xy2h_cte_sql(
         prev = cur
     lines.append(f"SELECT {keep_cols}, hd AS hilbert FROM {prev}")
     return "\n".join(lines)
+
+
+def s2_cellid_cte_sql(
+    d: Dialect, source_sql: str, lon: str, lat: str, keep: list[str],
+    parent_level: int = 12,
+) -> str:
+    """S2 leaf cell id of (lon, lat) as chained CTEs, both dialects.
+
+    Same pipeline as functions/s2.py (the numpy twin pytest pins): unit
+    XYZ -> largest-|component| cube face -> face (u,v) -> quadratic
+    (s,t) -> 30-bit (i,j) -> per-bit Hilbert orientation fold (the
+    flattened 16-entry tables rendered as CASE over idx = o*4+ij) ->
+    id = face<<61 | pos<<1 | 1 in the signed-64 two's-complement bit
+    pattern (faces 4/5 set bit 63; both engines agree on BIGINT bit
+    algebra, so the comparison is exact). Transcendentals (sin/cos/sqrt)
+    appear only upstream of a floor() whose inputs the gate fixture
+    keeps >1e-3 away from integer boundaries (pytest-asserted), so the
+    <=few-ULP libm spread between engines cannot flip a single (i,j).
+
+    Returns a SELECT yielding ``keep`` + s2_face, s2_id (leaf) and
+    s2_id_l{parent_level} (ancestor id at that level).
+    """
+    from .s2 import KIJTOPOS_FLAT, MAX_LEVEL, NEWO_FLAT
+
+    keep_cols = ", ".join(keep)
+    rad = "0.017453292519943295e0"  # pi/180, exact double literal
+    lines = [
+        f"WITH s2a AS (SELECT {keep_cols}, ({lon}) * {rad} AS rlon,"
+        f" ({lat}) * {rad} AS rlat FROM ({source_sql}))",
+        ", s2b AS (SELECT *, cos(rlat)*cos(rlon) AS px,"
+        " cos(rlat)*sin(rlon) AS py, sin(rlat) AS pz FROM s2a)",
+        # face: largest |component|, ties resolved x, then y, then z —
+        # identical branch order to s2.face_uv_np
+        ", s2c AS (SELECT *, CASE"
+        " WHEN abs(px) >= abs(py) AND abs(px) >= abs(pz) THEN"
+        "   (CASE WHEN px >= 0 THEN 0 ELSE 3 END)"
+        " WHEN abs(py) >= abs(pz) THEN (CASE WHEN py >= 0 THEN 1 ELSE 4 END)"
+        " ELSE (CASE WHEN pz >= 0 THEN 2 ELSE 5 END) END AS s2_face"
+        " FROM s2b)",
+        ", s2d AS (SELECT *, CASE s2_face"
+        " WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz"
+        " WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END AS fu,"
+        " CASE s2_face"
+        " WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz"
+        " WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END AS fv"
+        " FROM s2c)",
+        ", s2e AS (SELECT *,"
+        " CASE WHEN fu >= 0 THEN 0.5e0*sqrt(1.0e0 + 3.0e0*fu)"
+        "      ELSE 1.0e0 - 0.5e0*sqrt(1.0e0 - 3.0e0*fu) END AS fs,"
+        " CASE WHEN fv >= 0 THEN 0.5e0*sqrt(1.0e0 + 3.0e0*fv)"
+        "      ELSE 1.0e0 - 0.5e0*sqrt(1.0e0 - 3.0e0*fv) END AS ft"
+        " FROM s2d)",
+    ]
+    m = (1 << MAX_LEVEL) - 1
+    fi = d.floor_long(f"fs * {1 << MAX_LEVEL}.0e0")
+    fj = d.floor_long(f"ft * {1 << MAX_LEVEL}.0e0")
+    lines.append(
+        ", s2f AS (SELECT *,"
+        f" LEAST(GREATEST({fi}, 0), {m}) AS si,"
+        f" LEAST(GREATEST({fj}, 0), {m}) AS sj,"
+        f" CAST(s2_face & 1 AS BIGINT) AS so,"
+        " CAST(0 AS BIGINT) AS spos FROM s2e)"
+    )
+    prev = "s2f"
+    pos_case = " ".join(
+        f"WHEN {idx} THEN {r}" for idx, r in enumerate(KIJTOPOS_FLAT))
+    newo_case = " ".join(
+        f"WHEN {idx} THEN {o}" for idx, o in enumerate(NEWO_FLAT))
+    for step, k in enumerate(range(MAX_LEVEL - 1, -1, -1)):
+        ia = f"s2i{step}"
+        ib = f"s2k{step}"
+        ibit = d.band(d.shr("si", k), 1)
+        jbit = d.band(d.shr("sj", k), 1)
+        lines.append(
+            f", {ia} AS (SELECT *, so * 4 + {ibit} * 2 + {jbit} AS sidx"
+            f" FROM {prev})"
+        )
+        lines.append(
+            f", {ib} AS (SELECT {keep_cols}, si, sj, s2_face,"
+            f" spos * 4 + (CASE sidx {pos_case} END) AS spos,"
+            f" CAST(CASE sidx {newo_case} END AS BIGINT) AS so"
+            f" FROM {ia})"
+        )
+        prev = ib
+    # id = face<<61 | pos<<1 | 1 as the two's-complement int64 bit
+    # pattern: faces 4/5 set bit 63, which BIGINT cannot reach by a
+    # plain shift in DuckDB (overflow errors rather than wrapping), so
+    # the face part is CASEd into signed form; the position field
+    # occupies disjoint bits 0..60, making + equivalent to |.
+    imin = "(-9223372036854775807 - 1)"  # -2^63 without literal overflow
+    face_part = (
+        f"(CASE WHEN s2_face >= 4 THEN {imin} +"
+        f" {d.shl('(CAST(s2_face AS BIGINT) - 4)', 61)}"
+        f" ELSE {d.shl('CAST(s2_face AS BIGINT)', 61)} END)"
+    )
+    leaf = f"({face_part} + {d.shl('spos', 1)} + 1)"
+    plsb = 1 << (2 * (MAX_LEVEL - parent_level))
+    parent = f"(({leaf} & {-(plsb << 1)}) | {plsb})"
+    lines.append(
+        f"SELECT {keep_cols}, CAST(s2_face AS BIGINT) AS s2_face,"
+        f" CAST({leaf} AS BIGINT) AS s2_id,"
+        f" CAST({parent} AS BIGINT) AS s2_id_l{parent_level} FROM {prev}"
+    )
+    return "\n".join(lines)
