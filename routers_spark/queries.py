@@ -162,8 +162,9 @@ def _q_s2(dialect: str) -> str:
     H3/S2 leg of the cell-strategy family next to P2 geohash
     (strategy/geohash.rs:88-137) and P3 quadtree (strategy/quadtree.rs:
     88-123). Leaf (level-30) id plus the level-12 ancestor — the pair a
-    shard/tile layer would key on. The oracle CTE and the Spark plan are
-    the same generated integer/CASE pipeline (sqlgen.s2_cellid_cte_sql);
+    shard/tile layer would key on. The oracle side is the generated
+    integer/CASE CTE (sqlgen.s2_cellid_cte_sql); the Spark side runs the
+    chunked-lookup JVM form (functions/s2_jvm.py, _s2_spark override).
     tests/test_s2.py pins the numpy twin, the Hilbert-curve properties,
     and the fixture's floor-boundary margins that make the float prefix
     of the pipeline cross-engine exact."""
@@ -2968,7 +2969,25 @@ def _knn_spark_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(SELECT * FROM ring_best UNION ALL {fallback_best_agg}) best"))
 
 
+def _s2_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark override for cell_encode_s2: the chunked state-machine
+    lookup form (functions/s2_jvm.py) — four broadcast hash joins inside
+    whole-stage codegen instead of the 60-projection CTE chain (which
+    Spark executes correctly but kicks out of codegen on method size).
+    Bit-parity with the numpy kernel and the DuckDB oracle CTE is pinned
+    by tests/test_s2.py."""
+    from .functions.s2_jvm import with_s2_jvm
+
+    register_views(spark, sf_dir)
+    src = spark.sql(
+        f"SELECT CAST(event_id AS BIGINT) AS event_id,"
+        f" {EVENT_LON} AS elon, {EVENT_LAT} AS elat FROM events")
+    return (with_s2_jvm(src, "elon", "elat")
+            .select("event_id", "s2_face", "s2_id", "s2_id_l12"))
+
+
 _SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cell_encode_s2": _s2_spark,
     "knn_nearest_station": _knn_spark_materialized,
     "access_eval": _access_eval_spark,
     "zone_assign_cells": _zone_cells_spark,

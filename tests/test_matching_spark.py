@@ -179,6 +179,7 @@ def test_engine_gates_run_the_engine():
         "raster_pyramid_tiles", "ann_lsh_exact", "ann_ivf_exact",
         "osm_pbf_way_expansion", "embedding_dedup",
         "minhash_dedup_pipeline", "zone_bbox_lookup",
+        "cell_encode_s2",
     ]
     missing = [n for n in engine_gates if n not in Q._SPARK_OVERRIDES]
     assert not missing, missing

@@ -207,3 +207,45 @@ def test_gate_fixture_duckdb_exact_over_full_id_range():
         ["rid"])
     got = con.sql(sql).df().sort_values("rid")
     np.testing.assert_array_equal(got["s2_id"].to_numpy(), ids)
+
+
+def test_jvm_lookup_matches_numpy_kernel(spark):
+    import pandas as pd
+
+    from routers_spark.functions.s2_jvm import chunk_table, with_s2_jvm
+
+    # table sanity: first chunk, orientation rows enumerate the full fold
+    t8 = chunk_table(8)
+    assert len(t8) == 4 * 256 * 256
+    assert t8["st"].isin([0, 1, 2, 3]).all()
+
+    lon, lat = _rand_lonlat(3000, 31)
+    ids = s2.s2_cellid_np(lon, lat)
+    parents = s2.parent_id_np(ids, 12)
+    sdf = spark.createDataFrame(pd.DataFrame(
+        {"rid": np.arange(len(lon)), "lon": lon, "lat": lat}))
+    got = (with_s2_jvm(sdf, "lon", "lat")
+           .toPandas().sort_values("rid"))
+    np.testing.assert_array_equal(got["s2_id"].to_numpy(), ids)
+    np.testing.assert_array_equal(got["s2_id_l12"].to_numpy(), parents)
+    # null lon/lat -> null id, row preserved
+    null_df = spark.createDataFrame(
+        pd.DataFrame({"rid": [0], "lon": [None], "lat": [None]}),
+        "rid long, lon double, lat double")
+    nres = with_s2_jvm(null_df, "lon", "lat").toPandas()
+    assert len(nres) == 1 and pd.isna(nres["s2_id"].iloc[0])
+
+
+def test_jvm_lookup_plan_is_broadcast_codegen(spark):
+    import pandas as pd
+
+    from routers_spark.functions.s2_jvm import with_s2_jvm
+
+    sdf = spark.createDataFrame(pd.DataFrame(
+        {"rid": [1], "lon": [10.0], "lat": [20.0]}))
+    plan = (with_s2_jvm(sdf, "lon", "lat")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    for bad in ("PythonUDF", "BatchEvalPython", "ArrowEvalPython",
+                "FlatMapsInPandas", "SortMergeJoin"):
+        assert bad not in plan, bad
