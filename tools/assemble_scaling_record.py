@@ -43,8 +43,13 @@ def main() -> None:
             "north_star_rows_per_sec_local32":
                 w["local32"]["rows_per_sec"],
         }
+        if "levels" in w:
+            row["levels"] = w["levels"]
         if "cpu_calibration" in w:
-            row["cpu_ceiling_8_to_32"] = (
+            # same-window pure-ALU multiprocessing spin at the two worker
+            # counts: the scaling the HOST delivers on plain CPU work —
+            # the ceiling every Spark number in the window lives under
+            row["cpu_ceiling_same_window"] = (
                 w["cpu_calibration"]["cpu_ceiling_8_to_32"])
         windows.append(row)
 
