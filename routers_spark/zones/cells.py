@@ -145,6 +145,29 @@ def build_zone_index(zones: list[dict],
     return keys[order], zidx[order], intr[order], rings
 
 
+def resolve_zone_candidates(px: np.ndarray, py: np.ndarray,
+                            cand: np.ndarray, cand_int: np.ndarray,
+                            rings: list) -> np.ndarray:
+    """Shared winner resolution for cell-index backends (quadtree here,
+    S2 in zones/s2cells.py): interior candidates assign directly, boundary
+    candidates ray-cast against that one ring; first zone in list order
+    wins; no match -> None. Byte-identical to zones.pip.assign_zones."""
+    n = len(px)
+    zone = np.full(n, None, dtype=object)
+    unassigned = np.ones(n, dtype=bool)
+    for zi, (zid, rx, ry) in enumerate(rings):
+        direct = unassigned & cand_int[:, zi]
+        zone[direct] = zid
+        unassigned[direct] = False
+        border = unassigned & cand[:, zi]
+        if border.any():
+            inside = point_in_polygon_np(px[border], py[border], rx, ry)
+            hit = np.flatnonzero(border)[inside]
+            zone[hit] = zid
+            unassigned[hit] = False
+    return zone
+
+
 def assign_zones_cells(points_df: DataFrame, zones: list[dict],
                        lon: str = "lon", lat: str = "lat",
                        keep: list[str] | None = None,
@@ -188,19 +211,7 @@ def assign_zones_cells(points_df: DataFrame, zones: list[dict],
                        + np.repeat(lo, cnt))
                 cand[rep, zidx_[pos]] = True
                 cand_int[rep, zidx_[pos]] |= intr_[pos]
-            zone = np.full(n, None, dtype=object)
-            unassigned = np.ones(n, dtype=bool)
-            for zi in range(n_zones):
-                zid, rx, ry = rings_[zi]
-                direct = unassigned & cand_int[:, zi]
-                zone[direct] = zid
-                unassigned[direct] = False
-                border = unassigned & cand[:, zi]
-                if border.any():
-                    inside = point_in_polygon_np(px[border], py[border], rx, ry)
-                    hit = np.flatnonzero(border)[inside]
-                    zone[hit] = zid
-                    unassigned[hit] = False
+            zone = resolve_zone_candidates(px, py, cand, cand_int, rings_)
             out = pdf[[f.name for f in out_fields]].copy()
             out["zone_id"] = zone
             yield out
