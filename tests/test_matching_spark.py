@@ -144,14 +144,20 @@ def test_map_match_exact_premise_single_candidate(spark):
 
 
 def test_driver_registry_holds_fifty_entries():
-    """Round-3's driver record truncated at 50 rows; the registry must
-    carry exactly 50 entries with the ANN rows-only entries off the tail,
-    and every oracle name must be a registered query."""
+    """Round-3's driver record truncated at 50 rows; round 5 registers 51
+    (cell_encode_s2 joined) with the sacrificial rows-only entry at the
+    exact tail — if the cap still holds, the loss lands on
+    map_match_celljoin (rows-only, facade gated by its hash-green exact
+    twin) per the documented truncation priority. Every oracle name must
+    be a registered query."""
     from routers_spark import queries as Q
 
     qs = Q.queries()
     os_ = Q.oracle_sql()
-    assert len(qs) == 50
+    assert len(qs) == 51
+    assert "cell_encode_s2" in os_
+    # the tail row is the documented cheapest drop
+    assert list(qs)[-1] == "map_match_celljoin"
     assert set(os_) <= set(qs)
     names = list(qs)
     # the historically-truncated ANN rows sit ahead of the other
