@@ -597,15 +597,10 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
         trip_cover_sigs,
     )
 
-    from routers_spark.shard.partition import edges_with_rows
-
-    # ONE ranked edge base shared by candidate generation and subgraph
-    # hydration (the dense rank's quantile/count jobs run once per query)
-    ranked = edges_with_rows(edges_df)
     cand = candidates_cell_join(
         points_df, nodes_df, edges_df,
         search_m=opts.search_distance, emission_error=opts.emission_error,
-        salt=salt, edges_ranked=ranked,
+        salt=salt,
     )
     # pad: bound (cm→m) + search + equirectangular slop so every bounded
     # Dijkstra expansion from any candidate stays inside the subgraph
@@ -613,8 +608,7 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
     # subgraphs are SHARED per cover signature (one graph per distinct cell
     # set, solved against by every trip with that cover — the per-shard
     # graph analog), not duplicated per trip
-    sub = sig_subgraph_edges(points_df, nodes_df, edges_df, pad_m=pad_m,
-                             edges_ranked=ranked)
+    sub = sig_subgraph_edges(points_df, nodes_df, edges_df, pad_m=pad_m)
     cand_sig = cand.join(trip_cover_sigs(points_df), "trip_id")
 
     # skew valve: trips sharing one cover signature solve sequentially in a
@@ -649,11 +643,13 @@ def _solve_cogroup_pdf(cand_pdf: pd.DataFrame, edges_pdf: pd.DataFrame,
                        opts: MatchOptions, output: str) -> pd.DataFrame:
     """Solve EVERY trip of one cover-signature group against the group's
     shared padded subgraph (celljoin stage B/C): build one local
-    PackedGraph from the cogrouped edge rows, then per trip remap the
-    candidates' global edge_row indices to local ones (order-preserving:
-    both sides sort by (edge_id, src, dst)) and solve. Sharing the graph
-    also shares the predicate cache across the group's trips — the
-    per-shard-matcher economics of the reference (bin/matcher.rs:48-55).
+    PackedGraph from the cogrouped edge rows, then remap the candidates'
+    natural (edge_id, src, dst) keys to local rows (order-preserving:
+    build_packed_graph canonicalizes to exactly that triple order, so
+    local row i = position i in the triple-sorted subgraph) and solve per
+    trip. Sharing the graph also shares the predicate cache across the
+    group's trips — the per-shard-matcher economics of the reference
+    (bin/matcher.rs:48-55).
     R6 analog: a candidate edge missing from the subgraph (impossible when
     the padding covers the bound; defensive for skew in the equirectangular
     pad) is DOWNGRADED to an edge_row=-1 marker, never silently removed —
@@ -672,7 +668,8 @@ def _solve_cogroup_pdf(cand_pdf: pd.DataFrame, edges_pdf: pd.DataFrame,
 
     from routers_spark.graph.packed import build_packed_graph
 
-    edges_pdf = edges_pdf.sort_values("edge_row", kind="stable")
+    key = ["edge_id", "src", "dst"]
+    edges_pdf = edges_pdf.sort_values(key, kind="stable").reset_index(drop=True)
     nodes_local = pd.DataFrame({
         "node_id": np.concatenate([edges_pdf["src"].values,
                                    edges_pdf["dst"].values]),
@@ -682,19 +679,80 @@ def _solve_cogroup_pdf(cand_pdf: pd.DataFrame, edges_pdf: pd.DataFrame,
     g = build_packed_graph(
         nodes_local, edges_pdf[["edge_id", "src", "dst", "weight"]])
 
-    # global edge_row -> local row: local order == relative global order
-    global_rows = edges_pdf["edge_row"].values.astype(np.int64)
+    # natural key -> local row, ONE merge for the whole group (markers and
+    # absent edges fall out of the left join as -1). Full-triple ties are
+    # duplicate edges — interchangeable, first row wins.
+    local = edges_pdf[key].copy()
+    local["edge_row"] = np.arange(len(local), dtype=np.int64)
+    local = local.drop_duplicates(key, keep="first")
+    cand_pdf = cand_pdf.merge(local, on=key, how="left")
+    cand_pdf["edge_row"] = (cand_pdf["edge_row"].fillna(-1)
+                            .astype(np.int64))
+    if output == "discretized":
+        # raw-array hot path, mirroring the broadcast _solve_cols_batch:
+        # ONE sort of the whole group, trip/seq slices via boundary scans,
+        # per-trip solve returns column dicts, ONE DataFrame per group.
+        # The previous per-trip pandas loop (sort_values + groupby per
+        # 10-row trip) measured ~15 s of the 24 s celljoin wall at 20k
+        # trips — the frames, not the Viterbi, were the cost.
+        cand_pdf = cand_pdf.sort_values(["trip_id", "seq", "edge_row"],
+                                        kind="stable")
+        tid = cand_pdf["trip_id"].values
+        seq = cand_pdf["seq"].values.astype(np.int64)
+        er = cand_pdf["edge_row"].values
+        frac = cand_pdf["frac"].values.astype(np.float64)
+        px = cand_pdf["px"].values.astype(np.float64)
+        py = cand_pdf["py"].values.astype(np.float64)
+        dist = cand_pdf["dist_m"].values.astype(np.float64)
+        emis = cand_pdf["emission"].values
+        cuts = np.nonzero(tid[1:] != tid[:-1])[0] + 1
+        bounds = np.concatenate([[0], cuts, [len(tid)]])
+        acc: dict[str, list] = {}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cols = _solve_candidate_arrays(
+                tid[s], seq[s:e], er[s:e], frac[s:e], px[s:e], py[s:e],
+                dist[s:e], emis[s:e], g, opts, output)
+            for k, v in cols.items():
+                acc.setdefault(k, []).append(v)
+        return pd.DataFrame({k: np.concatenate(v) for k, v in acc.items()})
     outs = []
-    for trip_id, tp in cand_pdf.groupby("trip_id", sort=False):
-        tp = tp.copy()
-        cr = tp["edge_row"].values.astype(np.int64)
-        pos = np.searchsorted(global_rows, cr)
-        pos_c = np.minimum(pos, len(global_rows) - 1)
-        present = ((cr >= 0) & (pos < len(global_rows))
-                   & (global_rows[pos_c] == cr))
-        tp["edge_row"] = np.where(present, pos_c, -1)
+    for _, tp in cand_pdf.groupby("trip_id", sort=False):
         outs.append(_solve_candidates_pdf(tp, g, opts, output))
     return pd.concat(outs, ignore_index=True)
+
+
+def _solve_candidate_arrays(trip_id: str, seq, er, frac, px, py, dist, emis,
+                            graph, opts: MatchOptions, output: str):
+    """Solve one trip from pre-joined candidate COLUMN ARRAYS already
+    sorted by (seq, edge_row) — the celljoin twin of _solve_arrays.
+    edge_row == -1 marks an unanchored point (empty layer)."""
+    scuts = np.nonzero(seq[1:] != seq[:-1])[0] + 1
+    sb = np.concatenate([[0], scuts, [len(seq)]])
+    layers = []
+    seqs = []
+    for a, b in zip(sb[:-1], sb[1:]):
+        rows = er[a:b]
+        m = rows >= 0
+        layers.append({
+            "edge_row": rows[m],
+            "frac": frac[a:b][m],
+            "px": px[a:b][m], "py": py[a:b][m],
+            "dist_m": dist[a:b][m],
+            "emission": emis[a:b][m].astype(np.uint32),
+        })
+        seqs.append(seq[a])
+    seqs = np.asarray(seqs)
+    if opts.drop_unanchored:
+        keep = [i for i, l in enumerate(layers) if len(l["edge_row"]) > 0]
+        layers = [layers[i] for i in keep]
+        seqs = seqs[keep]
+        if not layers:
+            return _status_cols(trip_id, "unanchored", output)
+
+    result = solve_trip(graph, layers, opts)
+    if result["status"] != "matched":
+        return _status_cols(trip_id, result["status"], output)
+    return _emit_cols(trip_id, seqs, layers, result, graph, output)
 
 
 def _solve_candidates_pdf(pdf: pd.DataFrame, graph, opts: MatchOptions,

@@ -77,7 +77,7 @@ def point_cells(points_df: DataFrame, cell_deg: float,
 
 CANDIDATE_SCHEMA = (
     "trip_id string, seq int, lon double, lat double, edge_id long, "
-    "edge_row long, frac double, px double, py double, dist_m double, "
+    "src long, dst long, frac double, px double, py double, dist_m double, "
     "emission long"
 )
 
@@ -237,19 +237,21 @@ def trip_subgraph_edges(points_df: DataFrame, nodes_df: DataFrame,
     for each trip, asserted in tests/test_celljoin.py); this per-trip form
     remains the right shape when trips rarely share covers.
 
-    Output: (trip_id, edge_id, edge_row, src, dst, weight, ax, ay, bx, by),
-    deduplicated per (trip_id, edge_row). The coarse ``cell_deg`` (~2.2 km)
-    keeps the edge-cover explosion factor ~O((2·pad/cell)²) ≈ 9."""
-    base = edges_with_rows(edges_df)
+    Output: (trip_id, edge_id, src, dst, weight, ax, ay, bx, by),
+    deduplicated per (trip_id, edge_id, src, dst) — the natural edge key;
+    no global rank is computed (see :func:`candidates_cell_join`). The
+    coarse ``cell_deg`` (~2.2 km) keeps the edge-cover explosion factor
+    ~O((2·pad/cell)²) ≈ 9."""
+    base = edges_df.select("edge_id", "src", "dst", "weight")
     cover = edges_with_cover_cells(base, nodes_df, cell_deg, pad_m=pad_m)
     tcells = point_cells(
         points_df.select("trip_id", "lon", "lat"), cell_deg
     ).select("trip_id", "cx", "cy").distinct()
     return (
         tcells.join(cover, ["cx", "cy"])
-        .select("trip_id", "edge_id", "edge_row", "src", "dst", "weight",
+        .select("trip_id", "edge_id", "src", "dst", "weight",
                 "ax", "ay", "bx", "by")
-        .dropDuplicates(["trip_id", "edge_row"])
+        .dropDuplicates(["trip_id", "edge_id", "src", "dst"])
     )
 
 
@@ -272,18 +274,16 @@ def trip_cover_sigs(points_df: DataFrame,
 
 def sig_subgraph_edges(points_df: DataFrame, nodes_df: DataFrame,
                        edges_df: DataFrame, pad_m: float,
-                       cell_deg: float = 0.02,
-                       edges_ranked: DataFrame | None = None) -> DataFrame:
+                       cell_deg: float = 0.02) -> DataFrame:
     """Shared subgraphs keyed by cover signature: every edge whose padded
     bbox shares a coarse cell with the signature's cell set (the P4/P5
     admit rule). Row volume scales with DISTINCT signatures — measured 60
     signatures for 1,000 fixture trips (16x less subgraph duplication than
-    the per-trip form). Output: (sig, edge_id, edge_row, src, dst, weight,
-    ax, ay, bx, by), deduplicated per (sig, edge_row). ``edges_ranked``
-    (an ``edges_with_rows`` output) lets callers share one ranked base
-    across stages — the rank's quantile/count jobs then run once per
-    query."""
-    base = edges_ranked if edges_ranked is not None else edges_with_rows(edges_df)
+    the per-trip form). Output: (sig, edge_id, src, dst, weight,
+    ax, ay, bx, by), deduplicated per (sig, edge_id, src, dst) — the
+    natural edge key; no global rank is computed (rationale in
+    :func:`candidates_cell_join`)."""
+    base = edges_df.select("edge_id", "src", "dst", "weight")
     cover = edges_with_cover_cells(base, nodes_df, cell_deg, pad_m=pad_m)
     tc = point_cells(
         points_df.select("trip_id", "lon", "lat"), cell_deg
@@ -294,9 +294,9 @@ def sig_subgraph_edges(points_df: DataFrame, nodes_df: DataFrame,
     )
     return (
         sig_cells.join(cover, ["cx", "cy"])
-        .select("sig", "edge_id", "edge_row", "src", "dst", "weight",
+        .select("sig", "edge_id", "src", "dst", "weight",
                 "ax", "ay", "bx", "by")
-        .dropDuplicates(["sig", "edge_row"])
+        .dropDuplicates(["sig", "edge_id", "src", "dst"])
     )
 
 
@@ -305,8 +305,7 @@ def candidates_cell_join(points_df: DataFrame, nodes_df: DataFrame,
                          search_m: float = DEFAULT_SEARCH_DISTANCE_M,
                          emission_error: float = DEFAULT_EMISSION_ERROR_M,
                          cell_deg: float = 0.002,
-                         salt: int = 0,
-                         edges_ranked: DataFrame | None = None) -> DataFrame:
+                         salt: int = 0) -> DataFrame:
     """Stage A of the match lifecycle as a distributed cell equi-join
     (SURVEY §3.1): points join the padded edge cover on their single cell,
     a JVM bbox prefilter reproduces the square-box scan (X4 semantics via
@@ -329,8 +328,24 @@ def candidates_cell_join(points_df: DataFrame, nodes_df: DataFrame,
     ``salt`` > 0 additionally splits hot cells: edges duplicate into
     ``salt`` sub-keys and each point picks one pseudo-randomly — the
     explicit skew-handling knob (north rule) on top of AQE's skew splits.
+
+    Candidates identify their edge by the NATURAL key (edge_id, src, dst)
+    — no global dense rank is computed anywhere on this path. The solver
+    only needs an ordering that agrees with ``build_packed_graph``'s
+    canonical (edge_id, src, dst) sort (trellis tie-breaks + the
+    candidate→local-row remap), and the triple itself IS that ordering; a
+    dense rank (the previous design) additionally cost one approxQuantile
+    pass, one counts collect, and an enumeration shuffle over the FULL
+    edge table per query — a driver-blocking extra scan that dominated
+    celljoin wall time (13.5 s of 22 s at 362k edges / 200k points) and
+    would be a full pass over a 100 TB edge table at scale. Rows that tie
+    on the full triple can only be duplicate edges (same id, same
+    endpoints) — interchangeable for matching, so the key is effectively
+    unique. ``edges_with_rows`` (the rank) remains the SHARD FILE format's
+    row id (write_shards), where it is computed once per build, not per
+    query.
     """
-    base = edges_ranked if edges_ranked is not None else edges_with_rows(edges_df)
+    base = edges_df.select("edge_id", "src", "dst", "weight")
     edges_cover = edges_with_cover_cells(
         base, nodes_df, cell_deg, pad_m=search_m * 1.5 + 10.0
     )
@@ -402,8 +417,10 @@ def candidates_cell_join(points_df: DataFrame, nodes_df: DataFrame,
                 "lon": lon, "lat": lat,
                 "edge_id": np.where(unanchored, -1,
                                     pdf["edge_id"].fillna(-1).values).astype(np.int64),
-                "edge_row": np.where(marker, -1,
-                                     pdf["edge_row"].fillna(-1).values).astype(np.int64),
+                "src": np.where(unanchored, -1,
+                                pdf["src"].fillna(-1).values).astype(np.int64),
+                "dst": np.where(unanchored, -1,
+                                pdf["dst"].fillna(-1).values).astype(np.int64),
                 # frac/px/py/dist are NaN and emission -1 on every ~hit
                 # row already, markers included
                 "frac": frac, "px": px, "py": py, "dist_m": dist,
@@ -411,6 +428,6 @@ def candidates_cell_join(points_df: DataFrame, nodes_df: DataFrame,
             })
             yield out[keep]
 
-    cols = ["trip_id", "seq", "lon", "lat", "edge_id", "edge_row",
+    cols = ["trip_id", "seq", "lon", "lat", "edge_id", "src", "dst",
             "ax", "ay", "bx", "by"]
     return paired.select(*cols).mapInPandas(kernel, schema=CANDIDATE_SCHEMA)

@@ -58,9 +58,18 @@ def test_celljoin_candidate_sets_match_boxquery(spark, inputs):
     for _, r in pts.iterrows():
         local = candidates_for_point(g, r.lon, r.lat, opts.search_distance,
                                      opts.emission_error)
+        # the distributed path carries the natural (edge_id, src, dst) key;
+        # the packed graph's rows are triple-sorted, so sorting by the
+        # triple reproduces the graph's candidate order exactly
         dist = cand[(cand.trip_id == r.trip_id) & (cand.seq == r.seq)
-                    & (cand.edge_row >= 0)].sort_values("edge_row")
-        assert list(dist["edge_row"]) == list(local["edge_row"]), (r.trip_id, r.seq)
+                    & (cand.edge_id >= 0)].sort_values(
+                        ["edge_id", "src", "dst"])
+        rows = np.asarray(local["edge_row"], dtype=np.int64)
+        exp = list(zip(g.edge_id[rows],
+                       g.node_ids[g.edge_src[rows]],
+                       g.node_ids[g.edge_dst[rows]]))
+        got = list(zip(dist["edge_id"], dist["src"], dist["dst"]))
+        assert got == exp, (r.trip_id, r.seq)
         if len(dist):
             np.testing.assert_allclose(dist["px"].values, local["px"], atol=1e-12)
             np.testing.assert_array_equal(dist["emission"].values,
@@ -152,12 +161,17 @@ def test_sig_subgraphs_equal_per_trip_subgraphs(spark):
     edges_df = spark.createDataFrame(edges)
     pad = 500.0
     per_trip = trip_subgraph_edges(points, nodes_df, edges_df, pad_m=pad) \
-        .select("trip_id", "edge_row").toPandas()
+        .select("trip_id", "edge_id", "src", "dst").toPandas()
     sigs = trip_cover_sigs(points).toPandas()
     per_sig = sig_subgraph_edges(points, nodes_df, edges_df, pad_m=pad) \
-        .select("sig", "edge_row").toPandas()
-    sig_edges = per_sig.groupby("sig")["edge_row"].apply(set).to_dict()
-    trip_edges = per_trip.groupby("trip_id")["edge_row"].apply(set).to_dict()
+        .select("sig", "edge_id", "src", "dst").toPandas()
+
+    def key_sets(pdf, by):
+        pdf = pdf.assign(k=list(zip(pdf.edge_id, pdf.src, pdf.dst)))
+        return pdf.groupby(by)["k"].apply(set).to_dict()
+
+    sig_edges = key_sets(per_sig, "sig")
+    trip_edges = key_sets(per_trip, "trip_id")
     for _, r in sigs.iterrows():
         assert trip_edges.get(r["trip_id"], set()) == \
             sig_edges.get(r["sig"], set()), r["trip_id"]
