@@ -57,6 +57,7 @@ HEADLINE_ENGINE = [
     "map_match_discretized",
     "map_match_celljoin",
     "raster_pyramid_tiles",
+    "raster_zonal_stats",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_exact",

@@ -144,20 +144,22 @@ def test_map_match_exact_premise_single_candidate(spark):
 
 
 def test_driver_registry_holds_fifty_entries():
-    """Round-3's driver record truncated at 50 rows; round 5 registers 51
-    (cell_encode_s2 joined) with the sacrificial rows-only entry at the
-    exact tail — if the cap still holds, the loss lands on
-    map_match_celljoin (rows-only, facade gated by its hash-green exact
-    twin) per the documented truncation priority. Every oracle name must
-    be a registered query."""
+    """Round-3's driver record truncated at 50 rows; round 5 registers 52
+    (cell_encode_s2 and raster_zonal_stats joined) with the sacrificial
+    rows-only entries at the exact tail — if the cap still holds, the
+    loss lands on map_match_discretized + map_match_celljoin (both
+    rows-only perf rows, facade gated by their hash-green exact twins)
+    per the documented truncation priority. Every oracle name must be a
+    registered query."""
     from routers_spark import queries as Q
 
     qs = Q.queries()
     os_ = Q.oracle_sql()
-    assert len(qs) == 51
+    assert len(qs) == 52
     assert "cell_encode_s2" in os_
-    # the tail row is the documented cheapest drop
-    assert list(qs)[-1] == "map_match_celljoin"
+    assert "raster_zonal_stats" in os_
+    # the tail rows are the documented cheapest drops
+    assert list(qs)[-2:] == ["map_match_discretized", "map_match_celljoin"]
     assert set(os_) <= set(qs)
     names = list(qs)
     # the historically-truncated ANN rows sit ahead of the other
