@@ -78,19 +78,25 @@ def test_celljoin_candidate_sets_match_boxquery(spark, inputs):
 
 def test_celljoin_never_collects_graph(spark, inputs, monkeypatch):
     """The celljoin path's stated purpose is graphs too big to broadcast:
-    no driver-side DataFrame collect may happen anywhere in its plan
-    construction or execution (the solver gets per-trip subgraphs via
-    cogroup instead)."""
+    no driver-side materialization of ANY kind may happen in its plan
+    construction or execution — no toPandas, no collect, and no
+    approxQuantile/summary jobs (the pre-r5 global dense rank ran an
+    approxQuantile pass + a counts collect over the FULL edge table per
+    query; the rankless rewrite must never regress to that)."""
     from pyspark.sql import DataFrame as SparkDF
 
     points_df, nodes_df, edges_df = inputs
 
-    def guard(self):
-        raise AssertionError("driver-side collect in celljoin path")
+    def guard_name(name):
+        def guard(self, *a, **k):
+            raise AssertionError(f"driver-side {name} in celljoin path")
+        return guard
 
-    monkeypatch.setattr(SparkDF, "toPandas", guard)
+    monkeypatch.setattr(SparkDF, "toPandas", guard_name("toPandas"))
+    monkeypatch.setattr(SparkDF, "collect", guard_name("collect"))
+    monkeypatch.setattr(SparkDF, "approxQuantile", guard_name("approxQuantile"))
     out = match_trips(points_df, nodes_df, edges_df, candidate_path="celljoin")
-    assert out.count() > 0  # executes end-to-end without any toPandas
+    assert out.count() > 0  # executes end-to-end with zero driver jobs
 
 
 def test_celljoin_plan_has_no_global_window(spark, inputs):
