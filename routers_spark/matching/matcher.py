@@ -319,6 +319,20 @@ INTERPOLATED_SCHEMA = (
     "kind string, trip_cost long, status string"
 )
 
+# Combined gate shape (r6): ONE facade pass emits the union of the
+# discretized rows (kind='matched': idx=seq, frac) and the interpolated
+# RoutedPath rows (idx=elem, kind, plon/plat) for MATCHED trips — the
+# oracle-gated map_match_exact[_celljoin] queries consume exactly this
+# union, and running it as one pass halves the candidate/subgraph/solve
+# machinery vs two full match_trips calls. Non-matched trips emit nothing
+# (the gate filters status='matched' anyway). plon/plat are NaN on
+# 'matched' rows and frac is NaN on interpolated rows; the caller maps
+# those to SQL NULLs by kind (NaN wouldn't hash-match the oracle's NULLs).
+GATE_UNION_SCHEMA = (
+    "trip_id string, idx int, kind string, edge_id long, frac double, "
+    "plon double, plat double"
+)
+
 
 def _solve_pdf(pdf: pd.DataFrame, graph, opts: MatchOptions,
                output: str) -> pd.DataFrame:
@@ -364,32 +378,11 @@ def _emit(trip_id: str, seqs, layers, result, graph, output: str) -> pd.DataFram
     return out if isinstance(out, pd.DataFrame) else pd.DataFrame(out)
 
 
-def _emit_cols(trip_id: str, seqs, layers, result, graph, output: str):
-    path, cost, hops = result["path"], result["cost"], result["hops"]
-    if output == "discretized":
-        n = len(path)
-        rows_sel = np.array([layers[k]["edge_row"][path[k]] for k in range(n)],
-                            dtype=np.int64)
-        return {
-            "trip_id": np.full(n, trip_id, dtype=object),
-            "seq": np.asarray(seqs, dtype=np.int32),
-            "edge_id": graph.edge_id[rows_sel].astype(np.int64),
-            "matched_lon": np.array(
-                [layers[k]["px"][path[k]] for k in range(n)]),
-            "matched_lat": np.array(
-                [layers[k]["py"][path[k]] for k in range(n)]),
-            "frac": np.array(
-                [layers[k]["frac"][path[k]] for k in range(n)]),
-            "dist_m": np.array(
-                [layers[k]["dist_m"][path[k]] for k in range(n)]),
-            "emission": np.array(
-                [layers[k]["emission"][path[k]] for k in range(n)],
-                dtype=np.int64),
-            "trip_cost": np.full(n, cost, dtype=np.int64),
-            "status": np.full(n, "matched", dtype=object),
-        }
-
-    # interpolated (RoutedPath::new, candidate/route.rs:46-141)
+def _routed_elems(layers, path, hops, graph) -> list[tuple]:
+    """The interpolated RoutedPath element list (candidate/route.rs:46-141)
+    with consecutive-duplicate dedup (route.rs:131) — shared by the
+    'interpolated' and 'gate_union' emitters. Returns
+    [(lon, lat, edge_id, kind), ...]."""
     elems: list[tuple[float, float, int, str]] = []
 
     def add(lon, lat, edge_id, kind):
@@ -416,8 +409,62 @@ def _emit_cols(trip_id: str, seqs, layers, result, graph, output: str):
         graph.edge_id[last_row], "candidate")
 
     # dedup consecutive identical points (route.rs:131)
-    dedup = [e for i, e in enumerate(elems)
-             if i == 0 or (e[0], e[1]) != (elems[i - 1][0], elems[i - 1][1])]
+    return [e for i, e in enumerate(elems)
+            if i == 0 or (e[0], e[1]) != (elems[i - 1][0], elems[i - 1][1])]
+
+
+def _emit_cols(trip_id: str, seqs, layers, result, graph, output: str):
+    path, cost, hops = result["path"], result["cost"], result["hops"]
+    if output == "discretized":
+        n = len(path)
+        rows_sel = np.array([layers[k]["edge_row"][path[k]] for k in range(n)],
+                            dtype=np.int64)
+        return {
+            "trip_id": np.full(n, trip_id, dtype=object),
+            "seq": np.asarray(seqs, dtype=np.int32),
+            "edge_id": graph.edge_id[rows_sel].astype(np.int64),
+            "matched_lon": np.array(
+                [layers[k]["px"][path[k]] for k in range(n)]),
+            "matched_lat": np.array(
+                [layers[k]["py"][path[k]] for k in range(n)]),
+            "frac": np.array(
+                [layers[k]["frac"][path[k]] for k in range(n)]),
+            "dist_m": np.array(
+                [layers[k]["dist_m"][path[k]] for k in range(n)]),
+            "emission": np.array(
+                [layers[k]["emission"][path[k]] for k in range(n)],
+                dtype=np.int64),
+            "trip_cost": np.full(n, cost, dtype=np.int64),
+            "status": np.full(n, "matched", dtype=object),
+        }
+
+    if output == "gate_union":
+        n = len(path)
+        rows_sel = np.array([layers[k]["edge_row"][path[k]] for k in range(n)],
+                            dtype=np.int64)
+        dedup = _routed_elems(layers, path, hops, graph)
+        m = len(dedup)
+        return {
+            "trip_id": np.full(n + m, trip_id, dtype=object),
+            "idx": np.concatenate([np.asarray(seqs, dtype=np.int32),
+                                   np.arange(m, dtype=np.int32)]),
+            "kind": np.concatenate([np.full(n, "matched", dtype=object),
+                                    np.array([e[3] for e in dedup],
+                                             dtype=object)]),
+            "edge_id": np.concatenate([
+                graph.edge_id[rows_sel].astype(np.int64),
+                np.array([e[2] for e in dedup], dtype=np.int64)]),
+            "frac": np.concatenate([
+                np.array([layers[k]["frac"][path[k]] for k in range(n)]),
+                np.full(m, np.nan)]),
+            "plon": np.concatenate([np.full(n, np.nan),
+                                    np.array([e[0] for e in dedup])]),
+            "plat": np.concatenate([np.full(n, np.nan),
+                                    np.array([e[1] for e in dedup])]),
+        }
+
+    # interpolated (RoutedPath::new, candidate/route.rs:46-141)
+    dedup = _routed_elems(layers, path, hops, graph)
     return pd.DataFrame({
         "trip_id": trip_id,
         "elem": np.arange(len(dedup), dtype="int32"),
@@ -431,6 +478,16 @@ def _emit_cols(trip_id: str, seqs, layers, result, graph, output: str):
 
 
 def _status_cols(trip_id: str, status: str, output: str):
+    if output == "gate_union":
+        # non-matched trips emit NO rows: the gate consumers filter
+        # status='matched' anyway, so this is the same row multiset
+        return {
+            "trip_id": np.empty(0, dtype=object),
+            "idx": np.empty(0, dtype=np.int32),
+            "kind": np.empty(0, dtype=object),
+            "edge_id": np.empty(0, dtype=np.int64),
+            "frac": np.empty(0), "plon": np.empty(0), "plat": np.empty(0),
+        }
     if output == "discretized":
         return {
             "trip_id": np.array([trip_id], dtype=object),
@@ -479,7 +536,12 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
         order; a sorted subset preserves it — tests/test_celljoin.py).
     """
     opts = opts or MatchOptions()
-    schema = DISCRETIZED_SCHEMA if output == "discretized" else INTERPOLATED_SCHEMA
+    schema = {"discretized": DISCRETIZED_SCHEMA,
+              "interpolated": INTERPOLATED_SCHEMA,
+              "gate_union": GATE_UNION_SCHEMA}[output]
+    # outputs whose per-trip emitters return raw column-array dicts (the
+    # no-per-trip-DataFrame hot path); 'interpolated' keeps the pdf path
+    raw_cols = output in ("discretized", "gate_union")
 
     if candidate_path == "broadcast":
         import uuid
@@ -537,7 +599,7 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
 
         def run_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             graph = hydrate(bc, bc_key)
-            if output != "discretized":
+            if not raw_cols:
                 carry: pd.DataFrame | None = None
                 for pdf in batches:
                     if carry is not None and len(carry):
@@ -594,7 +656,7 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
     from routers_spark.shard.partition import (
         candidates_cell_join,
         sig_subgraph_edges,
-        trip_cover_sigs,
+        trip_cover_sigs_cells,
     )
 
     cand = candidates_cell_join(
@@ -605,11 +667,22 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
     # pad: bound (cm→m) + search + equirectangular slop so every bounded
     # Dijkstra expansion from any candidate stays inside the subgraph
     pad_m = DIJKSTRA_BOUND_CM / 100.0 + opts.search_distance * 1.5 + 50.0
+    # ONE signature aggregation per call, shared by the subgraph builder
+    # (which derives (sig, cx, cy) from the carried cell arrays) and the
+    # candidate→sig join — the old shape aggregated the points twice
+    sigs_cells = trip_cover_sigs_cells(points_df)
     # subgraphs are SHARED per cover signature (one graph per distinct cell
     # set, solved against by every trip with that cover — the per-shard
     # graph analog), not duplicated per trip
-    sub = sig_subgraph_edges(points_df, nodes_df, edges_df, pad_m=pad_m)
-    cand_sig = cand.join(trip_cover_sigs(points_df), "trip_id")
+    sub = sig_subgraph_edges(points_df, nodes_df, edges_df, pad_m=pad_m,
+                             sigs_cells=sigs_cells)
+    # fresh exprId for sig on this side (the alias mints one): both cogroup
+    # inputs descend from the same sigs_cells frame, and Spark's ambiguous
+    # self-join check rejects the shared attribute otherwise
+    from pyspark.sql import functions as F
+
+    cand_sig = cand.join(
+        sigs_cells.select("trip_id", F.col("sig").alias("sig")), "trip_id")
 
     # skew valve: trips sharing one cover signature solve sequentially in a
     # single cogroup task, so a hot signature (fleets on repeated routes)
@@ -688,7 +761,7 @@ def _solve_cogroup_pdf(cand_pdf: pd.DataFrame, edges_pdf: pd.DataFrame,
     cand_pdf = cand_pdf.merge(local, on=key, how="left")
     cand_pdf["edge_row"] = (cand_pdf["edge_row"].fillna(-1)
                             .astype(np.int64))
-    if output == "discretized":
+    if output in ("discretized", "gate_union"):
         # raw-array hot path, mirroring the broadcast _solve_cols_batch:
         # ONE sort of the whole group, trip/seq slices via boundary scans,
         # per-trip solve returns column dicts, ONE DataFrame per group.

@@ -39,6 +39,21 @@ SUPP_LON = "(-118.5e0 + CAST((s_suppkey * 1103) % 64 AS DOUBLE) * 96.0e-4)"
 SUPP_LAT = "(33.7e0 + CAST((s_suppkey * 2749) % 64 AS DOUBLE) * 64.0e-4)"
 
 
+def _views_token(sf_dir: str) -> tuple:
+    """Freshness token for the view registration memo: path + (size,
+    mtime) of every table file/dir — a regenerated table re-registers."""
+    import os
+
+    st = []
+    for t in TABLES:
+        try:
+            s = os.stat(f"{sf_dir}/{t}.parquet")
+            st.append((s.st_size, s.st_mtime_ns))
+        except OSError:
+            st.append(None)
+    return (sf_dir, tuple(st))
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    tune_shuffle: bool = True) -> None:
     # This runs under the CALLER's session (the driver uses a vanilla one):
@@ -47,7 +62,20 @@ def register_views(spark: SparkSession, sf_dir: str,
     #   wrapping — legacy arithmetic is part of their contract;
     # - deep CTE chains (bit-twiddling programs) need more analyzer sweeps
     #   than the default 100. Both are runtime-settable SQLConfs.
+    #
+    # Registration is memoized per SESSION OBJECT + data token: every query
+    # builder calls this helper, and re-reading ten parquet footers costs
+    # ~0.75 s of driver time per call (measured r6) — the bench suite paid
+    # it ~90x. The token (stat of every table) invalidates on sf_dir switch
+    # or data regeneration; the memo lives as an attribute on the Python
+    # session wrapper, so a fresh wrapper merely re-registers (never skips
+    # a registration it shouldn't). Views are session-scoped temp views —
+    # re-registration is idempotent, skipping it is semantics-free.
     import os
+
+    token = (tune_shuffle, *_views_token(sf_dir))
+    if getattr(spark, "_routers_spark_views_token", None) == token:
+        return
 
     try:
         # a vanilla session keeps the 200 default: 200 tiny tasks per
@@ -71,6 +99,7 @@ def register_views(spark: SparkSession, sf_dir: str,
             pass
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    spark._routers_spark_views_token = token
 
 
 # Each entry: name -> sql(dialect_name) returning a full SELECT runnable on
@@ -1911,24 +1940,24 @@ def _mme_run(spark: SparkSession, sf_dir: str,
                           "weight": np.full(_MME_ROADS, 10, dtype=np.int64)})
     nodes_df = spark.createDataFrame(nodes)
     edges_df = spark.createDataFrame(edges)
-    disc = match_trips(points, nodes_df, edges_df,
-                       candidate_path=candidate_path)
-    interp = match_trips(points, nodes_df, edges_df,
-                         candidate_path=candidate_path,
-                         output="interpolated")
+    # ONE facade pass (output='gate_union') emits the discretized AND the
+    # interpolated rows of matched trips from a single candidate/subgraph/
+    # solve run — the r5 shape ran match_trips twice, paying the full
+    # celljoin (or broadcast) machinery per output. Row multiset is
+    # unchanged: kind='matched' rows are the old discretized branch
+    # (idx=seq, round(frac, 9), NULL plon/plat — the kernel emits NaN
+    # there, mapped to SQL NULL here because NaN wouldn't hash-match the
+    # oracle's CAST(NULL AS DOUBLE)); the rest are the old interpolated
+    # branch (idx=elem, round(lon/lat, 4), NULL frac).
+    both = match_trips(points, nodes_df, edges_df,
+                       candidate_path=candidate_path, output="gate_union")
     null_d = F.lit(None).cast("double")
-    return (
-        disc.filter(F.col("status") == "matched")
-        .select("trip_id", F.col("seq").alias("idx"),
-                F.lit("matched").alias("kind"), "edge_id",
-                F.round("frac", 9).alias("frac"),
-                null_d.alias("plon"), null_d.alias("plat"))
-        .unionByName(
-            interp.filter(F.col("status") == "matched")
-            .select("trip_id", F.col("elem").alias("idx"), "kind", "edge_id",
-                    null_d.alias("frac"),
-                    F.round("lon", 4).alias("plon"),
-                    F.round("lat", 4).alias("plat")))
+    is_m = F.col("kind") == "matched"
+    return both.select(
+        "trip_id", "idx", "kind", "edge_id",
+        F.when(is_m, F.round("frac", 9)).otherwise(null_d).alias("frac"),
+        F.when(is_m, null_d).otherwise(F.round("plon", 4)).alias("plon"),
+        F.when(is_m, null_d).otherwise(F.round("plat", 4)).alias("plat"),
     )
 
 

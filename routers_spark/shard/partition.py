@@ -255,6 +255,28 @@ def trip_subgraph_edges(points_df: DataFrame, nodes_df: DataFrame,
     )
 
 
+def trip_cover_sigs_cells(points_df: DataFrame,
+                          cell_deg: float = 0.02) -> DataFrame:
+    """(trip_id, cells, sig): each trip's sorted distinct coarse-cell set
+    and its signature, in ONE aggregation directly over the raw points —
+    ``collect_set`` dedups, so no pre-``distinct`` exchange is paid (r6:
+    the old tc-distinct → groupBy → re-join chain cost three exchanges
+    over the point set per call). The carried ``cells`` array lets
+    :func:`sig_subgraph_edges` derive (sig, cx, cy) from ONE tiny
+    per-signature dedup instead of re-aggregating the points. The sig is
+    any injective function of the cell set (it is an opaque grouping
+    key); sha2 over the sorted "cx:cy" list keeps it collision-safe."""
+    pc = point_cells(points_df.select("trip_id", "lon", "lat"), cell_deg)
+    agg = pc.groupBy("trip_id").agg(
+        F.sort_array(F.collect_set(F.struct("cx", "cy"))).alias("cells"))
+    return agg.withColumn(
+        "sig",
+        F.sha2(F.concat_ws(",", F.transform(
+            "cells",
+            lambda c: F.concat_ws(":", c.getField("cx").cast("string"),
+                                  c.getField("cy").cast("string")))), 256))
+
+
 def trip_cover_sigs(points_df: DataFrame,
                     cell_deg: float = 0.02) -> DataFrame:
     """Each trip's padded-cover signature: the hash of its sorted distinct
@@ -264,17 +286,13 @@ def trip_cover_sigs(points_df: DataFrame,
     matcher process holds its cells' graph and serves MANY vehicles,
     bin/matcher.rs:48-55), recovered here at cogroup granularity. Output:
     (trip_id, sig)."""
-    tc = point_cells(
-        points_df.select("trip_id", "lon", "lat"), cell_deg
-    ).select("trip_id", "cx", "cy").distinct()
-    return tc.groupBy("trip_id").agg(
-        F.sha2(F.concat_ws(",", F.sort_array(
-            F.collect_set(F.concat_ws(":", "cx", "cy")))), 256).alias("sig"))
+    return trip_cover_sigs_cells(points_df, cell_deg).select("trip_id", "sig")
 
 
 def sig_subgraph_edges(points_df: DataFrame, nodes_df: DataFrame,
                        edges_df: DataFrame, pad_m: float,
-                       cell_deg: float = 0.02) -> DataFrame:
+                       cell_deg: float = 0.02,
+                       sigs_cells: DataFrame | None = None) -> DataFrame:
     """Shared subgraphs keyed by cover signature: every edge whose padded
     bbox shares a coarse cell with the signature's cell set (the P4/P5
     admit rule). Row volume scales with DISTINCT signatures — measured 60
@@ -282,20 +300,33 @@ def sig_subgraph_edges(points_df: DataFrame, nodes_df: DataFrame,
     the per-trip form). Output: (sig, edge_id, src, dst, weight,
     ax, ay, bx, by), deduplicated per (sig, edge_id, src, dst) — the
     natural edge key; no global rank is computed (rationale in
-    :func:`candidates_cell_join`)."""
+    :func:`candidates_cell_join`).
+
+    ``sigs_cells`` lets the caller share one
+    :func:`trip_cover_sigs_cells` aggregation across this builder and the
+    candidate→sig join (match_trips computes it once per call). Since all
+    trips of a signature carry the IDENTICAL cell set (the sig is a hash
+    of the set), (sig, cx, cy) comes from one per-sig dedup + explode of
+    the carried array — no second pass over the points. The output is
+    hash-partitioned by sig BEFORE the per-(sig, edge) dedup: hash(sig)
+    clusters every dedup key (sig, edge_id, src, dst), so the aggregate
+    runs in place AND the downstream per-sig cogroup reuses the same
+    exchange — one shuffle of the subgraph table where the previous shape
+    paid two (dedup-by-4-keys, then cogroup-by-sig)."""
     base = edges_df.select("edge_id", "src", "dst", "weight")
     cover = edges_with_cover_cells(base, nodes_df, cell_deg, pad_m=pad_m)
-    tc = point_cells(
-        points_df.select("trip_id", "lon", "lat"), cell_deg
-    ).select("trip_id", "cx", "cy").distinct()
+    if sigs_cells is None:
+        sigs_cells = trip_cover_sigs_cells(points_df, cell_deg)
     sig_cells = (
-        tc.join(trip_cover_sigs(points_df, cell_deg), "trip_id")
-        .select("sig", "cx", "cy").distinct()
+        sigs_cells.select("sig", "cells").dropDuplicates(["sig"])
+        .select("sig", F.explode("cells").alias("c"))
+        .select("sig", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
     )
     return (
         sig_cells.join(cover, ["cx", "cy"])
         .select("sig", "edge_id", "src", "dst", "weight",
                 "ax", "ay", "bx", "by")
+        .repartition("sig")
         .dropDuplicates(["sig", "edge_id", "src", "dst"])
     )
 
