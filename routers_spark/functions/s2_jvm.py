@@ -27,7 +27,15 @@ from pyspark.sql import functions as F
 
 from .s2 import KIJTOPOS_FLAT, MAX_LEVEL, NEWO_FLAT
 
-_MAX_CHUNK = 8
+# 6-bit chunks: five 16 Ki-row transition tables (4 * 64 * 64) instead of
+# three 256 Ki-row ones + a tail — r6 measurement: building + broadcasting
+# the 262 Ki-row pandas tables dominated cell_encode_s2's wall time at
+# bench scale (~3.3 s of which <1 s was the actual scan), while per-row
+# cost BARELY changes (5 vs 4 broadcast-hash probes, and a 16 Ki-entry
+# table is L2-resident where 256 Ki spills to L3). Bit-parity is
+# chunking-independent (chunk_plan just partitions the 30 levels; pinned
+# by tests/test_s2.py).
+_MAX_CHUNK = 6
 
 
 def chunk_plan(order: int = MAX_LEVEL) -> list[int]:

@@ -8,9 +8,10 @@ outside the 16-entry whitelist are dropped
 (element/variants/mod.rs:28-47), and the road class maps to a routing
 weight (parsers/primitives/road_class.rs:118-146). Here the same pipeline
 runs over a DataFrame of way rows — no PBF codec (the engine's inputs are
-synthesized or pre-parsed tables), but the relational shape matches: a
-posexplode + lead() window for the pair expansion and a union of reversed
-rows for the twins, all JVM-side.
+synthesized or pre-parsed tables), but the relational shape matches: an
+array-side zip of each ref with its successor for the pair expansion and a
+per-row direction explode for the reversed twins, all JVM-side with no
+shuffle (the refs of a way are already one row).
 
 Way schema: (way_id long, refs array<long>, highway string,
 oneway boolean[, access array<struct<mode,dir,value>>]).
@@ -24,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from routers_spark.config import ROAD_CLASS_WEIGHT, VALID_ROADWAYS
 
@@ -45,32 +45,47 @@ def road_class_weight_col(highway_col: str = "highway") -> Column:
 
 
 def ways_to_edges(ways_df: DataFrame, highway_col: str = "highway") -> DataFrame:
-    """S2 way→edge expansion (graph.rs:237-252): posexplode the refs, pair
-    each node with its successor via lead() over (way, position), weight
-    from the road class; bidirectional ways (oneway = false) union a
-    reversed twin sharing the edge_id."""
+    """S2 way→edge expansion (graph.rs:237-252): zip each ref with its
+    successor array-side (``zip_with`` over two ``slice``s — the lead()
+    window this replaces cost a full shuffle + sort by way_id, r6), weight
+    from the road class; bidirectional ways (oneway = false) emit a
+    reversed twin sharing the edge_id from the SAME row via a direction
+    explode — the previous fwd/back union executed the whole upstream
+    lineage (PBF decode included) twice. Row multiset is unchanged."""
     filtered = filter_roadways(ways_df, highway_col)
-    w = Window.partitionBy("way_id").orderBy("pos")
+    extra = ["access"] if "access" in ways_df.columns else []
     pairs = (
         filtered.select(
             "way_id", "oneway",
             road_class_weight_col(highway_col).alias("weight"),
-            *(["access"] if "access" in ways_df.columns else []),
-            F.posexplode("refs").alias("pos", "src"),
+            *extra,
+            F.posexplode(F.expr(
+                "zip_with(slice(refs, 1, greatest(size(refs) - 1, 0)),"
+                "         slice(refs, 2, greatest(size(refs) - 1, 0)),"
+                "         (a, b) -> struct(a AS src, b AS dst))"
+            )).alias("pos", "pair"),
         )
-        .withColumn("dst", F.lead("src").over(w))
-        .filter(F.col("dst").isNotNull())
+        # parity with the lead() form: a null successor (possible only via
+        # null ref elements) never emits a pair
+        .filter(F.col("pair.dst").isNotNull())
         .withColumn("edge_id",
                     (F.col("way_id") * F.lit(1 << 16) + F.col("pos"))
                     .cast("long"))
     )
-    extra = ["access"] if "access" in ways_df.columns else []
-    fwd = pairs.select("edge_id", "src", "dst", "weight",
-                       F.lit(True).alias("fwd"), *extra)
-    back = (
-        pairs.filter(~F.col("oneway"))
-        .select("edge_id", F.col("dst").alias("src"),
-                F.col("src").alias("dst"), "weight",
-                F.lit(False).alias("fwd"), *extra)
+    dirs = F.when(
+        F.col("oneway"),
+        F.array(F.struct(F.col("pair.src").alias("s"),
+                         F.col("pair.dst").alias("d"),
+                         F.lit(True).alias("fwd"))),
+    ).otherwise(F.array(
+        F.struct(F.col("pair.src").alias("s"),
+                 F.col("pair.dst").alias("d"), F.lit(True).alias("fwd")),
+        F.struct(F.col("pair.dst").alias("s"),
+                 F.col("pair.src").alias("d"), F.lit(False).alias("fwd")),
+    ))
+    return (
+        pairs.select("edge_id", "weight", *extra, F.explode(dirs).alias("e"))
+        .select("edge_id", F.col("e.s").alias("src"),
+                F.col("e.d").alias("dst"), "weight",
+                F.col("e.fwd").alias("fwd"), *extra)
     )
-    return fwd.unionByName(back)
