@@ -694,13 +694,15 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
     if solve_salt > 1:
         from pyspark.sql import functions as F
 
+        # sig is a LONG now: sub-key by hashing (sig, salt-slot) — the
+        # same value on both sides; a collision only merges solver groups
+        # into a superset subgraph (harmless, see trip_cover_sigs_cells)
         cand_sig = cand_sig.withColumn(
-            "sig", F.concat("sig", F.lit(":"),
-                            F.pmod(F.hash("trip_id"), F.lit(solve_salt))))
+            "sig", F.xxhash64("sig",
+                              F.pmod(F.hash("trip_id"), F.lit(solve_salt))))
         sub = sub.withColumn(
             "sig", F.explode(F.array(*[
-                F.concat("sig", F.lit(":"), F.lit(str(i)))
-                for i in range(solve_salt)])))
+                F.xxhash64("sig", F.lit(i)) for i in range(solve_salt)])))
 
     def run_cog(cand_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
         return _solve_cogroup_pdf(cand_pdf, edges_pdf, opts, output)

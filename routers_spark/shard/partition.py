@@ -35,10 +35,22 @@ from routers_spark.matching import costing
 
 
 def edges_with_cover_cells(edges_df: DataFrame, nodes_df: DataFrame,
-                           cell_deg: float, pad_m: float) -> DataFrame:
+                           cell_deg: float, pad_m: float,
+                           cell_bounds: DataFrame | None = None) -> DataFrame:
     """Edge rows exploded to covered (cx, cy) cells: bbox of the edge's
     endpoints expanded by ``pad_m`` (equirectangular °/m, cos-lat corrected
-    — selection.rs:16-29), floored onto the world-anchored grid."""
+    — selection.rs:16-29), floored onto the world-anchored grid.
+
+    ``cell_bounds`` (optional): a ONE-row frame (pcx0, pcx1, pcy0, pcy1)
+    with the consumers' global cell range. Edges whose padded cell range
+    cannot intersect it are dropped BEFORE the explode — the reference's
+    shard locality (a matcher only hydrates the shards its trips touch,
+    bin/matcher.rs:48-55) applied to the cover build: a continental edge
+    table is pruned to the trips' region instead of being exploded
+    whole-table per query (the flat celljoin overhead of the r5 crossover
+    leg). Pure JVM: a broadcast of the 1-row aggregate, no driver job.
+    Dropped edges share no cell with any consumer cell by construction,
+    so join results are unchanged."""
     n = nodes_df.select(
         F.col("node_id"), F.col("lon").alias("n_lon"), F.col("lat").alias("n_lat")
     )
@@ -61,6 +73,13 @@ def edges_with_cover_cells(edges_df: DataFrame, nodes_df: DataFrame,
     cx1 = F.floor((max_x + 180.0) / cell_deg)
     cy0 = F.floor((min_y + 90.0) / cell_deg)
     cy1 = F.floor((max_y + 90.0) / cell_deg)
+    if cell_bounds is not None:
+        e = (
+            e.crossJoin(F.broadcast(cell_bounds))
+            .filter((cx1 >= F.col("pcx0")) & (cx0 <= F.col("pcx1"))
+                    & (cy1 >= F.col("pcy0")) & (cy0 <= F.col("pcy1")))
+            .drop("pcx0", "pcx1", "pcy0", "pcy1")
+        )
     return (
         e.withColumn("cx", F.explode(F.sequence(cx0, cx1)))
         .withColumn("cy", F.explode(F.sequence(cy0, cy1)))
@@ -243,16 +262,26 @@ def trip_subgraph_edges(points_df: DataFrame, nodes_df: DataFrame,
     coarse ``cell_deg`` (~2.2 km) keeps the edge-cover explosion factor
     ~O((2·pad/cell)²) ≈ 9."""
     base = edges_df.select("edge_id", "src", "dst", "weight")
-    cover = edges_with_cover_cells(base, nodes_df, cell_deg, pad_m=pad_m)
     tcells = point_cells(
         points_df.select("trip_id", "lon", "lat"), cell_deg
     ).select("trip_id", "cx", "cy").distinct()
+    cover = edges_with_cover_cells(base, nodes_df, cell_deg, pad_m=pad_m,
+                                   cell_bounds=_cell_range_bounds(tcells))
     return (
         tcells.join(cover, ["cx", "cy"])
         .select("trip_id", "edge_id", "src", "dst", "weight",
                 "ax", "ay", "bx", "by")
         .dropDuplicates(["trip_id", "edge_id", "src", "dst"])
     )
+
+
+def _cell_range_bounds(cells_df: DataFrame) -> DataFrame:
+    """ONE-row global cell range (pcx0, pcx1, pcy0, pcy1) of a (cx, cy)
+    frame — the broadcastable prefilter input for
+    :func:`edges_with_cover_cells`."""
+    return cells_df.agg(
+        F.min("cx").alias("pcx0"), F.max("cx").alias("pcx1"),
+        F.min("cy").alias("pcy0"), F.max("cy").alias("pcy1"))
 
 
 def trip_cover_sigs_cells(points_df: DataFrame,
@@ -264,17 +293,24 @@ def trip_cover_sigs_cells(points_df: DataFrame,
     over the point set per call). The carried ``cells`` array lets
     :func:`sig_subgraph_edges` derive (sig, cx, cy) from ONE tiny
     per-signature dedup instead of re-aggregating the points. The sig is
-    any injective function of the cell set (it is an opaque grouping
-    key); sha2 over the sorted "cx:cy" list keeps it collision-safe."""
+    an opaque grouping key — a 64-bit xxhash of the sorted "cx:cy" list
+    (r6: the previous 64-CHAR sha2 hex string rode every candidate and
+    subgraph row through two shuffles and the cogroup, ~8x the bytes of a
+    LONG and a far slower group key). A hash collision is HARMLESS for
+    results: it merges two cover groups, giving their trips the union of
+    the two admitted edge sets — a superset subgraph, and any admit
+    superset yields identical matches because the padding already covers
+    every edge reachable within the Dijkstra bound (the same argument
+    that makes per-trip vs per-sig grouping equivalent)."""
     pc = point_cells(points_df.select("trip_id", "lon", "lat"), cell_deg)
     agg = pc.groupBy("trip_id").agg(
         F.sort_array(F.collect_set(F.struct("cx", "cy"))).alias("cells"))
     return agg.withColumn(
         "sig",
-        F.sha2(F.concat_ws(",", F.transform(
+        F.xxhash64(F.concat_ws(",", F.transform(
             "cells",
             lambda c: F.concat_ws(":", c.getField("cx").cast("string"),
-                                  c.getField("cy").cast("string")))), 256))
+                                  c.getField("cy").cast("string"))))))
 
 
 def trip_cover_sigs(points_df: DataFrame,
@@ -314,7 +350,6 @@ def sig_subgraph_edges(points_df: DataFrame, nodes_df: DataFrame,
     exchange — one shuffle of the subgraph table where the previous shape
     paid two (dedup-by-4-keys, then cogroup-by-sig)."""
     base = edges_df.select("edge_id", "src", "dst", "weight")
-    cover = edges_with_cover_cells(base, nodes_df, cell_deg, pad_m=pad_m)
     if sigs_cells is None:
         sigs_cells = trip_cover_sigs_cells(points_df, cell_deg)
     sig_cells = (
@@ -322,6 +357,8 @@ def sig_subgraph_edges(points_df: DataFrame, nodes_df: DataFrame,
         .select("sig", F.explode("cells").alias("c"))
         .select("sig", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
     )
+    cover = edges_with_cover_cells(base, nodes_df, cell_deg, pad_m=pad_m,
+                                   cell_bounds=_cell_range_bounds(sig_cells))
     return (
         sig_cells.join(cover, ["cx", "cy"])
         .select("sig", "edge_id", "src", "dst", "weight",
@@ -377,11 +414,11 @@ def candidates_cell_join(points_df: DataFrame, nodes_df: DataFrame,
     query.
     """
     base = edges_df.select("edge_id", "src", "dst", "weight")
-    edges_cover = edges_with_cover_cells(
-        base, nodes_df, cell_deg, pad_m=search_m * 1.5 + 10.0
-    )
-
     pts = point_cells(points_df, cell_deg)
+    edges_cover = edges_with_cover_cells(
+        base, nodes_df, cell_deg, pad_m=search_m * 1.5 + 10.0,
+        cell_bounds=_cell_range_bounds(pts.select("cx", "cy")),
+    )
     join_keys = ["cx", "cy"]
     if salt > 0:
         edges_cover = edges_cover.withColumn(

@@ -182,7 +182,12 @@ def main() -> None:
     if which in ("match", "all"):
         legs.append(leg_match(spark))
     if which in ("crossover", "all"):
-        legs.append(leg_crossover(spark))
+        sizes = os.environ.get("CROSSOVER_GRIDS")
+        if sizes:
+            legs.append(leg_crossover(
+                spark, grid_sizes=tuple(int(s) for s in sizes.split(","))))
+        else:
+            legs.append(leg_crossover(spark))
     result = {"sf": SF_DIR, "legs": legs}
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
