@@ -653,20 +653,34 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
         return prepared.mapInPandas(run_iter, schema=schema)
 
     from routers_spark.config import DIJKSTRA_BOUND_CM
+    from routers_spark.functions.cache import bounded_persist
     from routers_spark.shard.partition import (
+        admitted_edge_coords,
         candidates_cell_join,
         sig_subgraph_edges,
         trip_cover_sigs_cells,
     )
 
-    cand = candidates_cell_join(
-        points_df, nodes_df, edges_df,
-        search_m=opts.search_distance, emission_error=opts.emission_error,
-        salt=salt,
-    )
     # pad: bound (cm→m) + search + equirectangular slop so every bounded
     # Dijkstra expansion from any candidate stays inside the subgraph
     pad_m = DIJKSTRA_BOUND_CM / 100.0 + opts.search_distance * 1.5 + 50.0
+    # ONE region-pruned, materialized (edge + endpoint coords) table per
+    # call, shared by the candidate cover AND the subgraph cover: the full
+    # edge table is scanned once per query, not once per cover (pruned
+    # with the WIDEST pad / coarsest grid, so each cover's own admit is a
+    # subset). bounded_persist = eager localCheckpoint — a Spark job, but
+    # no driver collect (the no-driver-jobs guard stays green); the
+    # checkpoint holds only the trips' region, KB-to-MB scale.
+    pruned = bounded_persist(
+        admitted_edge_coords(
+            edges_df.select("edge_id", "src", "dst", "weight"), nodes_df,
+            points_df, pad_m=pad_m, cell_deg=0.02),
+        "celljoin_edge_coords")
+    cand = candidates_cell_join(
+        points_df, nodes_df, edges_df,
+        search_m=opts.search_distance, emission_error=opts.emission_error,
+        salt=salt, edge_coords=pruned,
+    )
     # ONE signature aggregation per call, shared by the subgraph builder
     # (which derives (sig, cx, cy) from the carried cell arrays) and the
     # candidate→sig join — the old shape aggregated the points twice
@@ -675,7 +689,7 @@ def match_trips(points_df, nodes_df, edges_df, opts: MatchOptions | None = None,
     # set, solved against by every trip with that cover — the per-shard
     # graph analog), not duplicated per trip
     sub = sig_subgraph_edges(points_df, nodes_df, edges_df, pad_m=pad_m,
-                             sigs_cells=sigs_cells)
+                             sigs_cells=sigs_cells, edge_coords=pruned)
     # fresh exprId for sig on this side (the alias mints one): both cogroup
     # inputs descend from the same sigs_cells frame, and Spark's ambiguous
     # self-join check rejects the shared attribute otherwise

@@ -1814,18 +1814,30 @@ def _sf_scale(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _fixture_match_inputs(spark: SparkSession, sf_dir: str):
-    from routers_spark.fixtures.roads import grid_network, walk_trips
+    # fixture SYNTHESIS (pandas walk + createDataFrame, ~0.5 s of driver
+    # time), not the operator under test — memoized per session + sf_dir
+    # like the PBF fixture file. The returned DataFrames are immutable
+    # plans over driver-local rows; every timed match still executes in
+    # full. The events count is keyed implicitly via the sf_dir token.
+    cache = getattr(spark, "_routers_spark_fixture_cache", None)
+    if cache is None:
+        cache = {}
+        spark._routers_spark_fixture_cache = cache
+    key = ("match_inputs", sf_dir)
+    if key not in cache:
+        from routers_spark.fixtures.roads import grid_network, walk_trips
 
-    n_events = _sf_scale(spark, sf_dir)
-    n_trips = max(10, n_events // 100)
-    nodes, edges = grid_network(30)
-    trips = walk_trips(nodes, edges, n_trips=n_trips, points_per_trip=10,
-                       seed=42)
-    return (
-        spark.createDataFrame(trips),
-        spark.createDataFrame(nodes),
-        spark.createDataFrame(edges),
-    )
+        n_events = _sf_scale(spark, sf_dir)
+        n_trips = max(10, n_events // 100)
+        nodes, edges = grid_network(30)
+        trips = walk_trips(nodes, edges, n_trips=n_trips, points_per_trip=10,
+                           seed=42)
+        cache[key] = (
+            spark.createDataFrame(trips),
+            spark.createDataFrame(nodes),
+            spark.createDataFrame(edges),
+        )
+    return cache[key]
 
 
 # Shared corridor-fixture derivation for the ORACLE-GATED map match: the

@@ -34,9 +34,58 @@ from routers_spark.functions.geo import (
 from routers_spark.matching import costing
 
 
+def edge_endpoint_coords(edges_df: DataFrame,
+                         nodes_df: DataFrame) -> DataFrame:
+    """Edges with endpoint coordinates attached: (edge cols..., ax, ay,
+    bx, by) — the shared prefix of every cover build."""
+    n = nodes_df.select(
+        F.col("node_id"), F.col("lon").alias("n_lon"),
+        F.col("lat").alias("n_lat"))
+    return (
+        edges_df.join(n.withColumnRenamed("node_id", "src"), "src")
+        .withColumnsRenamed({"n_lon": "ax", "n_lat": "ay"})
+        .join(n.withColumnRenamed("node_id", "dst"), "dst")
+        .withColumnsRenamed({"n_lon": "bx", "n_lat": "by"})
+    )
+
+
+def admitted_edge_coords(edges_df: DataFrame, nodes_df: DataFrame,
+                         points_df: DataFrame, pad_m: float,
+                         cell_deg: float,
+                         lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Degree-space region prune shared by every cover of one match call:
+    edges whose ``pad_m``-padded bbox, expanded by one ``cell_deg`` (the
+    cell-quantization slack), overlaps the points' global lon/lat range.
+    Strict superset of any per-cover cell-range admit with pad ≤ pad_m
+    and grid ≥ cell_deg — so the caller can compute this ONCE with the
+    widest pad/coarsest grid and feed every cover from it, paying the
+    full-edge-table scan once per query instead of once per cover (the
+    r6 crossover leg's remaining edge-linear term). One broadcast 1-row
+    aggregate; no driver jobs."""
+    e = edge_endpoint_coords(edges_df, nodes_df)
+    pad_lat = pad_m / M_PER_DEG
+    pad_lon = F.lit(pad_m) / (
+        F.lit(M_PER_DEG)
+        * F.cos(F.radians(F.greatest(F.abs("ay"), F.abs("by")))))
+    bounds = points_df.agg(
+        F.min(lon).alias("plon0"), F.max(lon).alias("plon1"),
+        F.min(lat).alias("plat0"), F.max(lat).alias("plat1"))
+    slack = float(cell_deg)
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.greatest("ax", "bx") + pad_lon >= F.col("plon0") - slack)
+            & (F.least("ax", "bx") - pad_lon <= F.col("plon1") + slack)
+            & (F.greatest("ay", "by") + pad_lat >= F.col("plat0") - slack)
+            & (F.least("ay", "by") - pad_lat <= F.col("plat1") + slack))
+        .drop("plon0", "plon1", "plat0", "plat1")
+    )
+
+
 def edges_with_cover_cells(edges_df: DataFrame, nodes_df: DataFrame,
                            cell_deg: float, pad_m: float,
-                           cell_bounds: DataFrame | None = None) -> DataFrame:
+                           cell_bounds: DataFrame | None = None,
+                           edge_coords: DataFrame | None = None) -> DataFrame:
     """Edge rows exploded to covered (cx, cy) cells: bbox of the edge's
     endpoints expanded by ``pad_m`` (equirectangular °/m, cos-lat corrected
     — selection.rs:16-29), floored onto the world-anchored grid.
@@ -50,16 +99,13 @@ def edges_with_cover_cells(edges_df: DataFrame, nodes_df: DataFrame,
     whole-table per query (the flat celljoin overhead of the r5 crossover
     leg). Pure JVM: a broadcast of the 1-row aggregate, no driver job.
     Dropped edges share no cell with any consumer cell by construction,
-    so join results are unchanged."""
-    n = nodes_df.select(
-        F.col("node_id"), F.col("lon").alias("n_lon"), F.col("lat").alias("n_lat")
-    )
-    e = (
-        edges_df.join(n.withColumnRenamed("node_id", "src"), "src")
-        .withColumnsRenamed({"n_lon": "ax", "n_lat": "ay"})
-        .join(n.withColumnRenamed("node_id", "dst"), "dst")
-        .withColumnsRenamed({"n_lon": "bx", "n_lat": "by"})
-    )
+    so join results are unchanged.
+
+    ``edge_coords`` (optional): a frame already carrying (edge cols...,
+    ax, ay, bx, by) — e.g. the shared :func:`admitted_edge_coords` prune
+    of one match call — skips the node joins here."""
+    e = edge_coords if edge_coords is not None \
+        else edge_endpoint_coords(edges_df, nodes_df)
     pad_lat = pad_m / M_PER_DEG
     pad_lon = F.lit(pad_m) / (
         F.lit(M_PER_DEG)
@@ -328,7 +374,8 @@ def trip_cover_sigs(points_df: DataFrame,
 def sig_subgraph_edges(points_df: DataFrame, nodes_df: DataFrame,
                        edges_df: DataFrame, pad_m: float,
                        cell_deg: float = 0.02,
-                       sigs_cells: DataFrame | None = None) -> DataFrame:
+                       sigs_cells: DataFrame | None = None,
+                       edge_coords: DataFrame | None = None) -> DataFrame:
     """Shared subgraphs keyed by cover signature: every edge whose padded
     bbox shares a coarse cell with the signature's cell set (the P4/P5
     admit rule). Row volume scales with DISTINCT signatures — measured 60
@@ -357,8 +404,11 @@ def sig_subgraph_edges(points_df: DataFrame, nodes_df: DataFrame,
         .select("sig", F.explode("cells").alias("c"))
         .select("sig", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
     )
-    cover = edges_with_cover_cells(base, nodes_df, cell_deg, pad_m=pad_m,
-                                   cell_bounds=_cell_range_bounds(sig_cells))
+    cover = edges_with_cover_cells(
+        base, nodes_df, cell_deg, pad_m=pad_m,
+        cell_bounds=None if edge_coords is not None
+        else _cell_range_bounds(sig_cells),
+        edge_coords=edge_coords)
     return (
         sig_cells.join(cover, ["cx", "cy"])
         .select("sig", "edge_id", "src", "dst", "weight",
@@ -373,7 +423,8 @@ def candidates_cell_join(points_df: DataFrame, nodes_df: DataFrame,
                          search_m: float = DEFAULT_SEARCH_DISTANCE_M,
                          emission_error: float = DEFAULT_EMISSION_ERROR_M,
                          cell_deg: float = 0.002,
-                         salt: int = 0) -> DataFrame:
+                         salt: int = 0,
+                         edge_coords: DataFrame | None = None) -> DataFrame:
     """Stage A of the match lifecycle as a distributed cell equi-join
     (SURVEY §3.1): points join the padded edge cover on their single cell,
     a JVM bbox prefilter reproduces the square-box scan (X4 semantics via
@@ -417,7 +468,9 @@ def candidates_cell_join(points_df: DataFrame, nodes_df: DataFrame,
     pts = point_cells(points_df, cell_deg)
     edges_cover = edges_with_cover_cells(
         base, nodes_df, cell_deg, pad_m=search_m * 1.5 + 10.0,
-        cell_bounds=_cell_range_bounds(pts.select("cx", "cy")),
+        cell_bounds=None if edge_coords is not None
+        else _cell_range_bounds(pts.select("cx", "cy")),
+        edge_coords=edge_coords,
     )
     join_keys = ["cx", "cy"]
     if salt > 0:
