@@ -157,7 +157,11 @@ def with_s2_jvm(df: DataFrame, loncol: str, latcol: str,
     # swallows NULL (Spark's GREATEST ignores NULL args), and the face
     # CASE's ELSE branch catches NULL comparisons — both would otherwise
     # fabricate a face-5 id for a NULL point
-    isnull = F.col(loncol).isNull() | F.col(latcol).isNull()
+    # NaN included (ADVICE r5): a NaN survives the NULL-only guard — its
+    # comparisons are all false, clamping si/sj to 0 and falling to face
+    # 5 — fabricating a valid-looking id where the numpy twin yields none
+    isnull = (F.col(loncol).isNull() | F.col(latcol).isNull()
+              | F.isnan(loncol) | F.isnan(latcol))
     for c in (f"{prefix}_face", f"{prefix}_id",
               f"{prefix}_id_l{parent_level}"):
         cur = cur.withColumn(c, F.when(~isnull, F.col(c)))

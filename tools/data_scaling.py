@@ -122,6 +122,49 @@ def leg_match(spark, n_points=(600_000, 2_000_000, 4_000_000)) -> dict:
     return out
 
 
+def _write_grid_graph_sql(spark, g: int, gd: str, spacing: float = 0.002,
+                          lon0: float = -118.5, lat0: float = 33.7,
+                          diag_every: int = 7) -> None:
+    """Distributed twin of fixtures.roads.grid_network (identical ids,
+    coords, edge order and weights — same integer arithmetic, same IEEE
+    lon0 + j*spacing doubles): a grid past ~10M edges OOMs the driver if
+    built as pandas and shipped through py4j, which is exactly the graph
+    size the crossover leg needs to show the broadcast path failing."""
+    from pyspark.sql import functions as F
+
+    from routers_spark.fixtures.roads import DEFAULT_WEIGHT
+
+    n = g
+    nodes = spark.range(n * n).select(
+        F.col("id").alias("node_id"),
+        (F.lit(lon0) + (F.col("id") % n).cast("double") * spacing).alias("lon"),
+        (F.lit(lat0) + (F.col("id") / n).cast("long").cast("double")
+         * spacing).alias("lat"),
+    )
+    h = spark.range(n * (n - 1)).select(
+        F.col("id").alias("edge_id"),
+        ((F.col("id") / (n - 1)).cast("long") * n
+         + F.col("id") % (n - 1)).alias("src"))
+    h = h.withColumn("dst", F.col("src") + 1)
+    v = spark.range((n - 1) * n).select(
+        (F.col("id") + n * (n - 1)).alias("edge_id"),
+        F.col("id").alias("src")).withColumn("dst", F.col("src") + n)
+    m = len(range(0, n - 1, diag_every))
+    d = spark.range(m * m).select(
+        (F.col("id") + n * (n - 1) + (n - 1) * n).alias("edge_id"),
+        ((F.col("id") / m).cast("long") * diag_every * n
+         + (F.col("id") % m) * diag_every).alias("src"))
+    d = d.withColumn("dst", F.col("src") + n + 1)
+    fwd = h.unionByName(v).unionByName(d)
+    both = fwd.unionByName(
+        fwd.select("edge_id", F.col("dst").alias("src"),
+                   F.col("src").alias("dst")))
+    edges = both.withColumn("weight",
+                            F.lit(DEFAULT_WEIGHT).cast("long"))
+    nodes.repartition(CPUS).write.mode("overwrite").parquet(f"{gd}/nodes")
+    edges.repartition(CPUS).write.mode("overwrite").parquet(f"{gd}/edges")
+
+
 def leg_crossover(spark, grid_sizes=(50, 300, 700, 1150),
                   n_trips=20_000) -> dict:
     """Fixed trip corpus (200k GPS points), growing road graph. grid(1150)
@@ -138,17 +181,16 @@ def leg_crossover(spark, grid_sizes=(50, 300, 700, 1150),
     points_df, n = _write_trips(spark, sub_nodes, sub_edges, n_trips, seed=7)
     out = {"leg": "crossover", "cpus": CPUS, "gps_points": n, "points": []}
     for g in grid_sizes:
-        nodes, edges = grid_network(g)
-        edge_rows = len(edges)
         # graph tables go to parquet too: the guard/collect probe must run
-        # against a scanned table, not a pre-materialized local relation
+        # against a scanned table, not a pre-materialized local relation.
+        # Built distributedly — a >=10M-edge pandas frame shipped through
+        # py4j OOMs the driver before any measurement runs.
         gd = tempfile.mkdtemp(prefix=f"datascale_graph{g}_")
-        spark.createDataFrame(nodes).repartition(CPUS).write.mode(
-            "overwrite").parquet(f"{gd}/nodes")
-        spark.createDataFrame(edges).repartition(CPUS).write.mode(
-            "overwrite").parquet(f"{gd}/edges")
+        _write_grid_graph_sql(spark, g, gd)
         nodes_df = spark.read.parquet(f"{gd}/nodes")
         edges_df = spark.read.parquet(f"{gd}/edges")
+        edge_rows = edges_df.count()
+        n_nodes = nodes_df.count()
 
         rejected = False
         if edge_rows > 5_000_000:
@@ -156,18 +198,27 @@ def leg_crossover(spark, grid_sizes=(50, 300, 700, 1150),
                 match_trips(points_df, nodes_df, edges_df).limit(1).collect()
             except ValueError:
                 rejected = True
-        t_bc = _timed_noop(
-            match_trips(points_df, nodes_df, edges_df,
-                        broadcast_limit_rows=None), warm_rows=5_000)
+        # celljoin FIRST: past the driver's memory envelope the broadcast
+        # leg can abort the JVM outright — the celljoin number must exist
+        # by then, and a broadcast crash is itself the datapoint
         t_cj = _timed_noop(
             match_trips(points_df, nodes_df, edges_df,
                         candidate_path="celljoin"), warm_rows=5_000)
-        out["points"].append({
-            "grid": g, "nodes": len(nodes), "edge_rows": edge_rows,
+        point = {
+            "grid": g, "nodes": n_nodes, "edge_rows": edge_rows,
             "guard_rejects_broadcast": rejected,
-            "broadcast_sec": round(t_bc, 2),
             "celljoin_sec": round(t_cj, 2),
-        })
+        }
+        print(json.dumps(point), file=sys.stderr, flush=True)
+        try:
+            t_bc = _timed_noop(
+                match_trips(points_df, nodes_df, edges_df,
+                            broadcast_limit_rows=None), warm_rows=5_000)
+            point["broadcast_sec"] = round(t_bc, 2)
+        except Exception as e:  # noqa: BLE001 — OOM/py4j abort IS the result
+            point["broadcast_sec"] = None
+            point["broadcast_error"] = f"{type(e).__name__}: {str(e)[:1200]}"
+        out["points"].append(point)
         print(json.dumps(out["points"][-1]), file=sys.stderr, flush=True)
     return out
 
