@@ -231,7 +231,12 @@ def main() -> None:
     if which in ("tile", "all"):
         legs.append(leg_tile(spark))
     if which in ("match", "all"):
-        legs.append(leg_match(spark))
+        msizes = os.environ.get("MATCH_POINTS")
+        if msizes:
+            legs.append(leg_match(
+                spark, n_points=tuple(int(s) for s in msizes.split(","))))
+        else:
+            legs.append(leg_match(spark))
     if which in ("crossover", "all"):
         sizes = os.environ.get("CROSSOVER_GRIDS")
         if sizes:
