@@ -173,36 +173,52 @@ def weigh_boundaries(graph, cache, layers: list[dict],
     pflat = np.empty(0, dtype=np.int64)
     std_idx = np.nonzero(~is_dir)[0]
     if len(std_idx):
+        # ONE lexsort over (root, leaf) replaces the per-root
+        # np.unique/append loop (r6: 458k tiny np.unique calls were ~9%
+        # of the 200k-point solve CPU): lanes = unique (root, leaf) pairs
+        # in sorted order — identical lane set, order and ids as the old
+        # form (np.unique returned sorted leaves within each sorted
+        # root), so the walk below and every downstream gather are
+        # unchanged. The python loop shrinks to one cache.query + locate
+        # per unique root (the Dijkstra/cache boundary).
         r_std = roots[std_idx]
-        order = np.argsort(r_std, kind="stable")
-        uniq_roots, starts = np.unique(r_std[order], return_index=True)
-        bounds = np.append(starts, len(order))
+        l_std = leaves[std_idx]
+        order = np.lexsort((l_std, r_std))
+        rs = r_std[order]
+        ls = l_std[order]
+        new_lane = np.empty(len(rs), dtype=bool)
+        new_lane[0] = True
+        new_root_tail = rs[1:] != rs[:-1]
+        new_lane[1:] = new_root_tail | (ls[1:] != ls[:-1])
+        lane_of_sorted = np.cumsum(new_lane) - 1
+        n_paths = int(lane_of_sorted[-1]) + 1
+        lane_root = rs[new_lane]
+        lane_leaf = ls[new_lane]
+        lane_new_root = np.empty(n_paths, dtype=bool)
+        lane_new_root[0] = True
+        lane_new_root[1:] = lane_root[1:] != lane_root[:-1]
+        rstarts = np.nonzero(lane_new_root)[0]
+        rstops = np.append(rstarts[1:], n_paths)
+        uniq_roots = lane_root[rstarts]
+        lanes = np.zeros(n_paths, dtype=np.int64)
+        plens = np.zeros(n_paths, dtype=np.int64)
+        ok_all = np.zeros(n_paths, dtype=bool)
         pms, bases = [], []
-        lane_loc_c, lane_len_c, lane_ok_c = [], [], []
-        seg_c, inv_c, lane_base = [], [], []
         fbase = 0
         for t in range(len(uniq_roots)):
-            seg = std_idx[order[bounds[t]:bounds[t + 1]]]
-            leaves_u, inv = np.unique(leaves[seg], return_inverse=True)
             pm = cache.query(graph, int(uniq_roots[t]), profile)
-            lidx, member = pm.locate(leaves_u)
-            ll = np.zeros(len(leaves_u), dtype=np.int64)
+            sl = slice(rstarts[t], rstops[t])
+            lidx, member = pm.locate(lane_leaf[sl])
+            ll = np.zeros(rstops[t] - rstarts[t], dtype=np.int64)
             ll[member] = pm.depth[lidx[member]] + 1
-            lane_loc_c.append(np.where(member, lidx + fbase, 0))
-            lane_len_c.append(ll)
-            lane_ok_c.append(member)
-            seg_c.append(seg)
-            inv_c.append(inv)
-            lane_base.append(n_paths)
-            n_paths += len(leaves_u)
+            lanes[sl] = np.where(member, lidx + fbase, 0)
+            plens[sl] = ll
+            ok_all[sl] = member
             pms.append(pm)
             bases.append(fbase)
             fbase += len(pm.keys)
         big_keys = np.concatenate([pm.keys for pm in pms])
         big_loc = np.concatenate([pm.loc + b for pm, b in zip(pms, bases)])
-        lanes = np.concatenate(lane_loc_c)
-        plens = np.concatenate(lane_len_c)
-        ok_all = np.concatenate(lane_ok_c)
         # one walk over every lane (expansion.rs:26-39 semantics: leaf
         # outside its root's bound → len 0, unreachable)
         poffs0 = np.zeros(n_paths + 1, dtype=np.int64)
@@ -220,9 +236,8 @@ def weigh_boundaries(graph, cache, layers: list[dict],
             if not alive.all():
                 cur, base_o, rem = cur[alive], base_o[alive], rem[alive]
             cur = big_loc[cur]
-        for t in range(len(seg_c)):
-            ids = lane_base[t] + inv_c[t]
-            path_of[seg_c[t]] = np.where(ok_all[ids], ids, -1)
+        path_of[std_idx[order]] = np.where(
+            ok_all[lane_of_sorted], lane_of_sorted, -1)
 
     # drop unreachable standard pairs (their matrix cells stay NO_EDGE)
     keep = is_dir | (path_of >= 0)
