@@ -1940,6 +1940,13 @@ def _mme_run(spark: SparkSession, sf_dir: str,
 
     register_views(spark, sf_dir)
     points = spark.sql(_mme_points_sql()).drop("road")
+    if candidate_path == "celljoin":
+        # the celljoin lineage consumes points four ways (cells, sig agg,
+        # region bounds, candidates) — materialize the 100k-row projection
+        # once instead of re-deriving it from events per consumer
+        from routers_spark.functions.cache import bounded_persist
+
+        points = bounded_persist(points, "mme_points")
     r = np.arange(_MME_ROADS, dtype=np.int64)
     y = 33.0 + r.astype(np.float64) * 0.02  # same IEEE product as the SQL
     nodes = pd.DataFrame({
@@ -3122,6 +3129,18 @@ def _knn_spark_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctes = ",\n".join(f"{n} AS ({c[n]}\n)" for n in names)
         return f"WITH {ctes}\n{final}"
 
+    # ev_g (events + guarantee bands) feeds the ring join AND the fallback
+    # anti-join: materialize it ONCE (r6). localCheckpoint, not persist —
+    # a persisted view referenced from two branches of one query trips a
+    # Spark analyzer internal error (DeduplicateRelations under InlineCTE
+    # on the cached subtree); a checkpointed LogicalRDD dedups cleanly.
+    evg = spark.sql(with_ctes(["ev", "ev_g"], "SELECT * FROM ev_g")) \
+        .localCheckpoint(eager=True)
+    evg.createOrReplaceTempView("ev_g_mat")
+    c = dict(c, ring=c["ring"].replace("FROM ev_g e", "FROM ev_g_mat e"),
+             fallback=c["fallback"].replace("FROM ev_g eg",
+                                            "FROM ev_g_mat eg"))
+
     ring_best_agg = """
   SELECT event_id, mn.s AS s_suppkey, mn.d AS dist_m
   FROM (SELECT event_id,
@@ -3130,16 +3149,16 @@ def _knn_spark_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ring GROUP BY event_id) r
   WHERE mn.d <= g_m"""
     rb = spark.sql(with_ctes(
-        ["ev", "ev_g", "st", "nbr", "ring"], ring_best_agg)).persist()
+        ["st", "nbr", "ring"], ring_best_agg)).persist()
     rb.createOrReplaceTempView("ring_best")
-    # the fallback still needs the cheap ev/ev_g/st CTEs (scans + floors);
-    # ring_best inside resolves to the persisted temp view
+    # the fallback still needs the cheap st CTE; ev_g_mat / ring_best
+    # inside resolve to the materialized temp views
     fallback_best_agg = """
   SELECT event_id, mn.s AS s_suppkey, mn.d AS dist_m FROM (
     SELECT event_id, min(named_struct('d', dist_m, 's', s_suppkey)) AS mn
     FROM fallback GROUP BY event_id) f"""
     return spark.sql(with_ctes(
-        ["ev", "ev_g", "st", "fallback"],
+        ["st", "fallback"],
         "SELECT event_id, s_suppkey AS nearest_station, "
         "round(dist_m, 3) AS dist_m FROM "
         f"(SELECT * FROM ring_best UNION ALL {fallback_best_agg}) best"))
