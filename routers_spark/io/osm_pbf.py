@@ -220,32 +220,84 @@ def _decode_nodes_block(data: bytes) -> pd.DataFrame:
                          "lat": np.concatenate(lat_c)})
 
 
+def _concat_packed(bufs: list) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a list of packed-varint buffers in ONE vectorized pass.
+    Returns (values, counts) where counts[i] is how many varints buffer i
+    held — the per-buffer slice boundaries for the caller. Batching here
+    is the decode's hot-path fix: per-way buffers hold ~2-8 varints, and
+    one numpy call per tiny buffer costs more than the decode itself."""
+    if not bufs:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    joined = b"".join(bytes(b) for b in bufs)
+    raw = np.frombuffer(joined, dtype=np.uint8)
+    vals = decode_packed_varints(joined)
+    # a varint ends at each byte without the continuation bit; counts per
+    # buffer = ends falling inside each buffer's byte range
+    ends = np.nonzero((raw & 0x80) == 0)[0]
+    bounds = np.cumsum(np.fromiter((len(b) for b in bufs), np.int64,
+                                   len(bufs)))
+    counts = np.diff(np.concatenate([[0], np.searchsorted(ends, bounds,
+                                                          "left")]))
+    return vals, counts
+
+
 def _decode_ways_block(data: bytes) -> pd.DataFrame:
     strings, groups, *_ = _parse_block(data)
-    wid_c, refs_c, tags_c = [], [], []
+    wid_c: list[int] = []
+    keys_bufs: list = []  # one entry PER WAY (b"" when the field is absent)
+    vals_bufs: list = []
+    refs_bufs: list = []
+    has_tags: list[bool] = []
     for g in groups:
         for fno, _, v in _fields(g):
             if fno != 3:  # Way messages
                 continue
-            wid, keys, vals, refs = None, None, None, None
+            wid, keys, vals, refs = None, b"", b"", b""
             for f2, wt2, v2 in _fields(v):
                 if f2 == 1:
                     wid = v2
                 elif f2 == 2:
-                    keys = decode_packed_varints(v2)
+                    keys = v2
                 elif f2 == 3:
-                    vals = decode_packed_varints(v2)
+                    vals = v2
                 elif f2 == 8:
-                    refs = np.cumsum(unzigzag(decode_packed_varints(v2)))
+                    refs = v2
             if wid is None:
                 continue
-            tags = ({strings[int(k)]: strings[int(va)]
-                     for k, va in zip(keys, vals)}
-                    if keys is not None and vals is not None else {})
             wid_c.append(int(wid))
-            refs_c.append(refs.astype(np.int64).tolist()
-                          if refs is not None else [])
-            tags_c.append(tags)
+            keys_bufs.append(keys)
+            vals_bufs.append(vals)
+            refs_bufs.append(refs)
+            has_tags.append(len(keys) > 0 and len(vals) > 0)
+    if not wid_c:
+        return pd.DataFrame({"way_id": pd.Series([], dtype=np.int64),
+                             "refs": pd.Series([], dtype=object),
+                             "tags": pd.Series([], dtype=object)})
+    # refs: one decode + one global cumsum; per-way prefix sums recovered
+    # by subtracting each segment's running base (delta encoding restarts
+    # at every way, so within-segment cumsum = global cumsum - base)
+    dvals, counts = _concat_packed(refs_bufs)
+    deltas = unzigzag(dvals)
+    csum = np.cumsum(deltas)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    base = np.where(starts > 0, csum[starts - 1], 0)
+    refs_flat = (csum - np.repeat(base, counts)).astype(np.int64)
+    refs_c = np.split(refs_flat, np.cumsum(counts)[:-1].astype(np.int64))
+    refs_c = [r.tolist() for r in refs_c]
+    # tags: one decode per class, then small per-way dict builds off the
+    # bulk-converted python lists
+    kvals, kcounts = _concat_packed(keys_bufs)
+    vvals, vcounts = _concat_packed(vals_bufs)
+    klist, vlist = kvals.tolist(), vvals.tolist()
+    kstart = np.concatenate([[0], np.cumsum(kcounts)]).astype(np.int64)
+    vstart = np.concatenate([[0], np.cumsum(vcounts)]).astype(np.int64)
+    tags_c = [
+        {strings[k]: strings[va]
+         for k, va in zip(klist[kstart[i]:kstart[i + 1]],
+                          vlist[vstart[i]:vstart[i + 1]])}
+        if has_tags[i] else {}
+        for i in range(len(wid_c))
+    ]
     return pd.DataFrame({"way_id": pd.Series(wid_c, dtype=np.int64),
                          "refs": pd.Series(refs_c, dtype=object),
                          "tags": pd.Series(tags_c, dtype=object)})
