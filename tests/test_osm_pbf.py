@@ -172,3 +172,103 @@ def test_blob_payload_lzma_and_unknown():
 
     with pytest.raises(ValueError, match="supported encoding"):
         _blob_payload(_enc_int(2, 3))
+
+
+def test_concat_packed_matches_per_buffer():
+    """r6 #11: the batched multi-buffer decode must agree with one
+    decode_packed_varints call per buffer, including empty buffers at
+    every position."""
+    from routers_spark.io.osm_pbf import _concat_packed, encode_varints
+
+    rng = np.random.default_rng(7)
+    bufs = [b""]
+    expect = [np.empty(0, np.uint64)]
+    for n in (1, 2, 3, 7, 50):
+        vals = rng.integers(0, 2**63, size=n, dtype=np.uint64)
+        vals[0] = rng.choice(np.array([0, 127, 128, 2**64 - 1],
+                                      dtype=np.uint64))
+        bufs.append(encode_varints(vals))
+        expect.append(vals)
+        bufs.append(b"")  # empties interleaved
+        expect.append(np.empty(0, np.uint64))
+    got_vals, got_counts = _concat_packed(bufs)
+    np.testing.assert_array_equal(got_counts,
+                                  np.array([len(e) for e in expect]))
+    np.testing.assert_array_equal(
+        got_vals, np.concatenate(expect).astype(np.uint64))
+
+
+def test_ways_block_batched_decode_parity(pbf_fixture):
+    """r6 #11: _decode_ways_block's batched packed-field decode is
+    bit-identical to a straightforward per-way decode of the same blobs
+    (ids, per-way refs, per-way tags), tagless/refless ways included."""
+    from routers_spark.io.osm_pbf import (
+        _blob_payload,
+        _decode_ways_block,
+        _fields,
+        _parse_block,
+    )
+
+    path, _, ways_pdf = pbf_fixture
+
+    def reference_decode(data: bytes) -> pd.DataFrame:
+        strings, groups, *_ = _parse_block(data)
+        wid_c, refs_c, tags_c = [], [], []
+        for g in groups:
+            for fno, _, v in _fields(g):
+                if fno != 3:
+                    continue
+                wid, keys, vals, refs = None, None, None, None
+                for f2, _, v2 in _fields(v):
+                    if f2 == 1:
+                        wid = v2
+                    elif f2 == 2:
+                        keys = decode_packed_varints(v2)
+                    elif f2 == 3:
+                        vals = decode_packed_varints(v2)
+                    elif f2 == 8:
+                        refs = np.cumsum(unzigzag(decode_packed_varints(v2)))
+                if wid is None:
+                    continue
+                wid_c.append(int(wid))
+                refs_c.append(refs.astype(np.int64).tolist()
+                              if refs is not None else [])
+                tags_c.append({strings[int(k)]: strings[int(va)]
+                               for k, va in zip(keys, vals)}
+                              if keys is not None and vals is not None
+                              else {})
+        return pd.DataFrame({"way_id": pd.Series(wid_c, dtype=np.int64),
+                             "refs": refs_c, "tags": tags_c})
+
+    import os
+    import tempfile
+
+    # edge-case corpus: a tagless way, a refless way, and a bare way,
+    # interleaved with normal ones
+    edge_ways = pd.DataFrame({
+        "way_id": pd.Series([11, 12, 13, 14], dtype=np.int64),
+        "refs": [[5, 6, 7], [], [1, 2], []],
+        "tags": [{"highway": "residential"}, {"highway": "service"}, {}, {}],
+    })
+    edge_nodes = pd.DataFrame({
+        "node_id": np.array([1, 2, 5, 6, 7], dtype=np.int64),
+        "lon": np.zeros(5), "lat": np.zeros(5),
+    })
+    with tempfile.TemporaryDirectory() as td:
+        edge_path = os.path.join(td, "edge.osm.pbf")
+        write_osm_pbf(edge_path, edge_nodes, edge_ways)
+        for p, expect_n in ((path, len(ways_pdf)), (edge_path, 4)):
+            desc = scan_blobs(p)
+            desc = desc[desc["blob_type"] == "OSMData"]
+            n_ways = 0
+            with open(p, "rb") as f:
+                for r in desc.itertuples(index=False):
+                    f.seek(int(r.offset))
+                    payload = _blob_payload(f.read(int(r.size)))
+                    got = _decode_ways_block(payload)
+                    ref = reference_decode(payload)
+                    assert list(got["way_id"]) == list(ref["way_id"])
+                    assert list(got["refs"]) == list(ref["refs"])
+                    assert list(got["tags"]) == list(ref["tags"])
+                    n_ways += len(got)
+            assert n_ways == expect_n
