@@ -280,8 +280,11 @@ def _decode_ways_block(data: bytes) -> pd.DataFrame:
     deltas = unzigzag(dvals)
     csum = np.cumsum(deltas)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-    base = np.where(starts > 0, csum[starts - 1], 0)
-    refs_flat = (csum - np.repeat(base, counts)).astype(np.int64)
+    if len(csum):
+        base = np.where(starts > 0, csum[np.maximum(starts - 1, 0)], 0)
+        refs_flat = (csum - np.repeat(base, counts)).astype(np.int64)
+    else:  # every way in the block is refless — nothing to delta-decode
+        refs_flat = np.empty(0, np.int64)
     refs_c = np.split(refs_flat, np.cumsum(counts)[:-1].astype(np.int64))
     refs_c = [r.tolist() for r in refs_c]
     # tags: one decode per class, then small per-way dict builds off the

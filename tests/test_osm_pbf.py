@@ -254,10 +254,20 @@ def test_ways_block_batched_decode_parity(pbf_fixture):
         "node_id": np.array([1, 2, 5, 6, 7], dtype=np.int64),
         "lon": np.zeros(5), "lat": np.zeros(5),
     })
+    # a block where EVERY way is refless (the batched delta-decode must
+    # handle an empty global cumsum)
+    refless_ways = pd.DataFrame({
+        "way_id": pd.Series([21, 22], dtype=np.int64),
+        "refs": [[], []],
+        "tags": [{"highway": "service"}, {}],
+    })
     with tempfile.TemporaryDirectory() as td:
         edge_path = os.path.join(td, "edge.osm.pbf")
         write_osm_pbf(edge_path, edge_nodes, edge_ways)
-        for p, expect_n in ((path, len(ways_pdf)), (edge_path, 4)):
+        refless_path = os.path.join(td, "refless.osm.pbf")
+        write_osm_pbf(refless_path, edge_nodes, refless_ways)
+        for p, expect_n in ((path, len(ways_pdf)), (edge_path, 4),
+                            (refless_path, 2)):
             desc = scan_blobs(p)
             desc = desc[desc["blob_type"] == "OSMData"]
             n_ways = 0
